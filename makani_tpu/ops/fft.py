@@ -1,0 +1,146 @@
+"""Planar real FFT transforms with mode truncation.
+
+JAX equivalents of the reference's FFT wrappers
+(``makani/models/common/fft.py:25-456``): they present the same interface as
+the spherical transforms (``nlat``/``nlon``/``lmax``/``mmax`` attributes plus
+``__call__``) so spectral layers can swap a planar transform for a spherical
+one without changing call sites.
+
+Truncation semantics match the reference: the longitude axis is one-sided
+(rfft) and head-sliced to ``mmax``; the latitude axis is two-sided, keeping the
+leading ``ceil(lmax/2)`` positive and trailing ``floor(lmax/2)`` negative
+frequencies. The inverse zero-pads *between* those blocks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+__all__ = ["RealFFT1", "InverseRealFFT1", "RealFFT2", "InverseRealFFT2", "RealFFT3", "InverseRealFFT3"]
+
+
+class RealFFT1:
+    def __init__(self, nlon: int, lmax: int | None = None, mmax: int | None = None):
+        self.nlon = nlon
+        self.lmax = min(lmax or nlon // 2 + 1, nlon // 2 + 1)
+        self.mmax = min(mmax or nlon // 2 + 1, self.lmax)
+
+    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        y = jnp.fft.rfft(x, n=self.nlon, axis=-1, norm=norm)
+        return y[..., : self.mmax]
+
+
+class InverseRealFFT1:
+    def __init__(self, nlon: int, lmax: int | None = None, mmax: int | None = None):
+        self.nlon = nlon
+        self.lmax = min(lmax or nlon // 2 + 1, nlon // 2 + 1)
+        self.mmax = min(mmax or nlon // 2 + 1, self.lmax)
+
+    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        return jnp.fft.irfft(x, n=self.nlon, axis=-1, norm=norm)
+
+
+class RealFFT2:
+    """Forward 2D real FFT over the last two axes with two-sided lat truncation."""
+
+    def __init__(self, nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None):
+        self.nlat = nlat
+        self.nlon = nlon
+        self.lmax = min(lmax or nlat, nlat)
+        self.mmax = min(mmax or nlon // 2 + 1, nlon // 2 + 1)
+
+        self.truncate = not ((self.lmax == self.nlat) and (self.mmax == self.nlon // 2 + 1))
+        self.lmax_high = math.ceil(self.lmax / 2)
+        self.lmax_low = math.floor(self.lmax / 2)
+
+    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        y = jnp.fft.rfft2(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+        if self.truncate:
+            y = jnp.concatenate(
+                (y[..., : self.lmax_high, : self.mmax], y[..., y.shape[-2] - self.lmax_low :, : self.mmax]),
+                axis=-2,
+            )
+        return y
+
+
+class InverseRealFFT2:
+    """Inverse 2D real FFT; zero-pads the truncated spectrum back to the grid."""
+
+    def __init__(self, nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None):
+        self.nlat = nlat
+        self.nlon = nlon
+        self.lmax = min(lmax or nlat, nlat)
+        self.mmax = min(mmax or nlon // 2 + 1, nlon // 2 + 1)
+
+        self.truncate = not ((self.lmax == self.nlat) and (self.mmax == self.nlon // 2 + 1))
+        self.lmax_high = math.ceil(self.lmax / 2)
+        self.lmax_low = math.floor(self.lmax / 2)
+
+    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        xt = x[..., : self.mmax]
+        if self.truncate:
+            xth = xt[..., : self.lmax_high, :]
+            xtl = xt[..., xt.shape[-2] - self.lmax_low :, :]
+            pad = [(0, 0)] * (xt.ndim - 2) + [(0, self.nlat - self.lmax), (0, 0)]
+            xthp = jnp.pad(xth, pad)
+            xt = jnp.concatenate([xthp, xtl], axis=-2)
+        # pad the one-sided lon axis back out implicitly via irfft2's s argument
+        return jnp.fft.irfft2(xt, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+
+
+def _two_sided_slices(n: int, lmax: int):
+    high = math.ceil(lmax / 2)
+    low = math.floor(lmax / 2)
+    return high, low
+
+
+class RealFFT3:
+    """Forward 3D real FFT over the last three axes with truncation on all three."""
+
+    def __init__(self, nd: int, nh: int, nw: int, ldmax: int | None = None, lhmax: int | None = None, lwmax: int | None = None):
+        self.nd, self.nh, self.nw = nd, nh, nw
+        self.ldmax = min(ldmax or nd, nd)
+        self.lhmax = min(lhmax or nh, nh)
+        self.lwmax = min(lwmax or nw // 2 + 1, nw // 2 + 1)
+
+        self.ldmax_high, self.ldmax_low = _two_sided_slices(nd, self.ldmax)
+        self.lhmax_high, self.lhmax_low = _two_sided_slices(nh, self.lhmax)
+
+        self.truncate = not ((self.ldmax == nd) and (self.lhmax == nh) and (self.lwmax == nw // 2 + 1))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.fft.rfftn(x, s=(self.nd, self.nh, self.nw), axes=(-3, -2, -1), norm="ortho")
+        if self.truncate:
+            y = jnp.concatenate((y[..., : self.ldmax_high, :, :], y[..., y.shape[-3] - self.ldmax_low :, :, :]), axis=-3)
+            y = jnp.concatenate((y[..., : self.lhmax_high, :], y[..., y.shape[-2] - self.lhmax_low :, :]), axis=-2)
+            y = y[..., : self.lwmax]
+        return y
+
+
+class InverseRealFFT3:
+    def __init__(self, nd: int, nh: int, nw: int, ldmax: int | None = None, lhmax: int | None = None, lwmax: int | None = None):
+        self.nd, self.nh, self.nw = nd, nh, nw
+        self.ldmax = min(ldmax or nd, nd)
+        self.lhmax = min(lhmax or nh, nh)
+        self.lwmax = min(lwmax or nw // 2 + 1, nw // 2 + 1)
+
+        self.ldmax_high, self.ldmax_low = _two_sided_slices(nd, self.ldmax)
+        self.lhmax_high, self.lhmax_low = _two_sided_slices(nh, self.lhmax)
+
+        self.truncate = not ((self.ldmax == nd) and (self.lhmax == nh) and (self.lwmax == nw // 2 + 1))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.truncate:
+            # pad d axis between positive and negative frequency blocks
+            xh = x[..., : self.ldmax_high, :, :]
+            xl = x[..., x.shape[-3] - self.ldmax_low :, :, :]
+            pad = [(0, 0)] * (x.ndim - 3) + [(0, self.nd - self.ldmax), (0, 0), (0, 0)]
+            x = jnp.concatenate([jnp.pad(xh, pad), xl], axis=-3)
+            # pad h axis
+            xh = x[..., : self.lhmax_high, :]
+            xl = x[..., x.shape[-2] - self.lhmax_low :, :]
+            pad = [(0, 0)] * (x.ndim - 2) + [(0, self.nh - self.lhmax), (0, 0)]
+            x = jnp.concatenate([jnp.pad(xh, pad), xl], axis=-2)
+        return jnp.fft.irfftn(x, s=(self.nd, self.nh, self.nw), axes=(-3, -2, -1), norm="ortho")

@@ -1,0 +1,187 @@
+"""Grid quadratures and grid conversion on the sphere.
+
+TPU-native equivalent of the reference's ``makani/utils/grids.py:27-263``:
+quadrature-rule selection per grid type, the normalized-to-4pi grid quadrature
+used by geometric losses/metrics, latitude-interpolation between grids, and
+the spherical bandlimit helper.
+
+All weights are precomputed in float64 numpy and exposed as fp32 arrays; the
+quadrature itself is a plain weighted sum, differentiable and jit-friendly.
+Spatial (h/w) model-parallel cropping is handled by slicing the weight table
+with a local offset/shape, with the cross-rank reduction left to the caller
+(the loss/metric layer psums over the mesh's spatial axes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from makani_tpu.ops.quadrature import (
+    clenshaw_curtiss_weights,
+    legendre_gauss_weights,
+    precompute_latitudes,
+)
+
+__all__ = [
+    "grid_to_quadrature_rule",
+    "compute_spherical_bandlimit",
+    "quadrature_weights",
+    "GridQuadrature",
+    "GridConverter",
+]
+
+
+def grid_to_quadrature_rule(grid_type: str) -> str:
+    """Map a grid type onto its quadrature rule (ref: grids.py:27-40)."""
+    grid_to_quad = {
+        "euclidean": "uniform",
+        "equiangular": "naive",
+        "legendre-gauss": "legendre-gauss",
+        "clenshaw-curtiss": "clenshaw-curtiss",
+        "weatherbench2": "weatherbench2",
+    }
+    if grid_type not in grid_to_quad:
+        raise NotImplementedError(f"Grid type {grid_type} does not have a quadrature rule")
+    return grid_to_quad[grid_type]
+
+
+def compute_spherical_bandlimit(img_shape, grid_type: str) -> int:
+    """Maximum degree resolvable on the grid (ref: grids.py:43-54)."""
+    if grid_type == "equiangular":
+        lmax = (img_shape[0] - 1) // 2
+        mmax = img_shape[1] // 2
+        return min(lmax, mmax)
+    elif grid_type == "legendre-gauss":
+        lmax = img_shape[0] - 1
+        mmax = img_shape[1] // 2
+        return min(lmax, mmax)
+    raise NotImplementedError(f"Unknown type {grid_type} not implemented")
+
+
+def quadrature_weights(quadrature_rule: str, img_shape, normalize: bool = False) -> np.ndarray:
+    """Full-grid quadrature weight map of shape ``img_shape`` summing to 4 pi.
+
+    Rules mirror the reference (grids.py:111-144): "naive" (sin-theta cell
+    measure, renormalized), "clenshaw-curtiss", "legendre-gauss",
+    "weatherbench2" (cell-area weights between latitude midpoints), "uniform".
+    """
+    nlat, nlon = img_shape
+    if quadrature_rule == "naive":
+        jacobian = np.clip(np.sin(np.linspace(0, np.pi, nlat)), 0.0, None)
+        dtheta = np.pi / nlat
+        dlambda = 2 * np.pi / nlon
+        quad_weight = dlambda * dtheta * jacobian[:, None]
+        quad_weight = np.tile(quad_weight, (1, nlon))
+        quad_weight = quad_weight * (4.0 * np.pi) / np.sum(quad_weight)
+    elif quadrature_rule == "clenshaw-curtiss":
+        _, weights = clenshaw_curtiss_weights(nlat, -1, 1)
+        dlambda = 2 * np.pi / nlon
+        quad_weight = np.tile(dlambda * weights[:, None], (1, nlon))
+    elif quadrature_rule == "legendre-gauss":
+        _, weights = legendre_gauss_weights(nlat, -1, 1)
+        # order weights north-to-south to match the data layout
+        weights = weights[::-1]
+        dlambda = 2 * np.pi / nlon
+        quad_weight = np.tile(dlambda * weights[:, None], (1, nlon))
+    elif quadrature_rule == "weatherbench2":
+        lats = np.linspace(0, np.pi, nlat)
+        cell_bounds = np.concatenate([[0.0], (lats[:-1] + lats[1:]) / 2, [np.pi]])
+        jacobian = np.cos(cell_bounds[:-1]) - np.cos(cell_bounds[1:])
+        dlambda = 2 * np.pi / nlon
+        quad_weight = np.tile(dlambda * jacobian[:, None], (1, nlon))
+    elif quadrature_rule == "uniform":
+        quad_weight = np.ones((nlat, nlon))
+        quad_weight = 4.0 * np.pi * quad_weight / np.sum(quad_weight)
+    else:
+        raise ValueError(f"Unknown quadrature rule {quadrature_rule}")
+
+    if normalize:
+        quad_weight = quad_weight / (4.0 * np.pi)
+
+    return quad_weight
+
+
+class GridQuadrature:
+    """Integrate fields over the last two (lat, lon) axes.
+
+    ``crop_shape``/``crop_offset`` select the local tile of the global weight
+    map, which is how spatial model parallelism shards the quadrature (the
+    caller psums partial integrals over the mesh's spatial axes; ref:
+    grids.py:150-191).
+    """
+
+    def __init__(self, quadrature_rule: str, img_shape, crop_shape=None, crop_offset=(0, 0), normalize: bool = False):
+        crop_shape = tuple(img_shape) if crop_shape is None else tuple(crop_shape)
+        quad_weight = quadrature_weights(quadrature_rule, img_shape, normalize=normalize)
+        quad_weight = quad_weight[
+            crop_offset[0] : crop_offset[0] + crop_shape[0],
+            crop_offset[1] : crop_offset[1] + crop_shape[1],
+        ]
+        self.quad_weight = jnp.asarray(quad_weight.astype(np.float32))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return jnp.sum(x * self.quad_weight.astype(x.dtype), axis=(-2, -1))
+
+
+class GridConverter:
+    """Latitude interpolation between grids (equiangular -> legendre-gauss).
+
+    Linear interpolation along latitude only, matching the reference
+    (grids.py:57-99). Longitudes are shared between the grids.
+    """
+
+    def __init__(self, src_grid: str, dst_grid: str, lat_rad: np.ndarray, lon_rad: np.ndarray):
+        self.src = src_grid
+        self.dst = dst_grid
+        self.src_lat = np.asarray(lat_rad, dtype=np.float64)
+        self.src_lon = np.asarray(lon_rad, dtype=np.float64)
+
+        if self.src != self.dst:
+            if self.dst == "legendre-gauss":
+                nlat = self.src_lat.shape[0]
+                theta, _ = precompute_latitudes(nlat, grid="legendre-gauss")
+                # latitudes in radians, same convention as the source
+                self.dst_lat = theta - np.pi / 2.0 if self.src_lat.min() < 0 else theta
+                self.dst_lon = self.src_lon
+
+                # source latitudes ascend in colatitude; find bracketing indices
+                src = self.src_lat
+                idx = np.searchsorted(np.sort(src), np.sort(self.dst_lat)) - 1
+                idx = np.clip(idx, 0, nlat - 2)
+                # both arrays share monotonicity; map back to original order
+                if src[0] > src[-1]:
+                    # descending source: interpolate on the flipped axis
+                    src_sorted = src[::-1]
+                    dst_sorted = self.dst_lat[::-1] if self.dst_lat[0] > self.dst_lat[-1] else self.dst_lat
+                    jj = np.clip(np.searchsorted(src_sorted, dst_sorted) - 1, 0, nlat - 2)
+                    w = (dst_sorted - src_sorted[jj]) / (src_sorted[jj + 1] - src_sorted[jj])
+                    # convert to indices into the original (descending) array
+                    self.indices = (nlat - 2 - jj).astype(np.int64)
+                    self.interp_weights = jnp.asarray((1.0 - w)[::-1].reshape(-1, 1).astype(np.float32))
+                    self.indices = jnp.asarray(self.indices[::-1])
+                else:
+                    jj = np.clip(np.searchsorted(src, self.dst_lat) - 1, 0, nlat - 2)
+                    w = (self.dst_lat - src[jj]) / (src[jj + 1] - src[jj])
+                    self.indices = jnp.asarray(jj.astype(np.int64))
+                    self.interp_weights = jnp.asarray(w.reshape(-1, 1).astype(np.float32))
+            else:
+                raise NotImplementedError(f"Error, destination grid type {self.dst} not implemented.")
+        else:
+            self.dst_lat = self.src_lat
+            self.dst_lon = self.src_lon
+
+    def get_src_coords(self):
+        return self.src_lat, self.src_lon
+
+    def get_dst_coords(self):
+        return self.dst_lat, self.dst_lon
+
+    def __call__(self, data: jnp.ndarray) -> jnp.ndarray:
+        if self.src == self.dst:
+            return data
+        lo = data[..., self.indices, :]
+        hi = data[..., self.indices + 1, :]
+        w = self.interp_weights.astype(data.dtype)
+        return lo + (hi - lo) * w
