@@ -113,9 +113,10 @@ def test_grid_roundtrip_bandlimited():
 def test_batched_and_jitted():
     import jax
 
-    nlat, nlon = 16, 32
-    sht = RealSHT(nlat, nlon, grid="equiangular")
-    isht = InverseRealSHT(nlat, nlon, grid="equiangular")
+    # equiangular CC quadrature is exact only up to lmax <= (nlat+1)//2
+    nlat, nlon, lmax = 16, 32, 8
+    sht = RealSHT(nlat, nlon, lmax=lmax, mmax=lmax, grid="equiangular")
+    isht = InverseRealSHT(nlat, nlon, lmax=lmax, mmax=lmax, grid="equiangular")
     x = np.random.RandomState(0).randn(2, 3, nlat, nlon).astype(np.float32)
 
     roundtrip = jax.jit(lambda y: isht(sht(y)))
