@@ -1,0 +1,311 @@
+"""Distributed spectral transforms over the device mesh.
+
+Replaces torch-harmonics' ``DistributedRealSHT``/``DistributedInverseRealSHT``
+(bound by the reference at ``makani/models/networks/sfnonet.py:797-805``) and
+the in-tree distributed FFT pattern (``makani/mpu/fft.py:148-182``). The
+reference moves data with four all-to-alls per transform (channel<->lon over
+"w", then channel<->lat over "h"). Here the latitude (Legendre) stage is
+redesigned for TPU:
+
+  * **w stage (FFT)**: Ulysses-style ``all_to_all`` exchanging channels for
+    longitude, local real FFT, truncate, ``all_to_all`` back. FFTs need the
+    full sequence, so the transpose is unavoidable.
+  * **h stage (Legendre)**: the contraction is a GEMM, and GEMMs factorize:
+    each rank contracts its *local* latitude rows against the full-degree
+    Legendre table and the partial results are summed-and-split with a single
+    ``psum_scatter`` (analysis) / ``all_gather`` + local GEMM (synthesis).
+    This halves the h-direction communication (1 collective instead of 2
+    all-to-alls), keeps every matmul MXU-shaped, and removes the reference's
+    requirement that channels be divisible by the h group size.
+
+Uneven splits (721 latitudes over 4 ranks, triangular l/m counts) are handled
+the TPU way: shapes are padded to the next multiple of the axis size and the
+*tables* carry zeros in the padded rows/columns, so padded grid rows are
+ignored by analysis and synthesized as zeros — no ragged shapes anywhere.
+
+All collectives are expressed inside ``shard_map`` over the mesh axes ("h",
+"w"); JAX autodiff provides the transposed communication pattern for the
+backward pass (psum_scatter <-> all_gather are mutual transposes), which is
+what the reference implements by hand in ``mpu/mappings.py:38-240``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from makani_tpu.ops.legendre import precompute_legpoly
+from makani_tpu.ops.quadrature import precompute_latitudes
+from makani_tpu.parallel import mesh as mesh_mod
+
+__all__ = ["DistributedRealSHT", "DistributedInverseRealSHT", "DistributedRealFFT2", "DistributedInverseRealFFT2"]
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _pad_up(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
+
+class _DistBase:
+    """Common shape bookkeeping for the distributed transforms."""
+
+    def __init__(self, nlat, nlon, lmax, mmax, h_axis="h", w_axis="w"):
+        self.mesh = mesh_mod.get_mesh()
+        self.h_axis, self.w_axis = h_axis, w_axis
+        self.h_size = self.mesh.shape.get(h_axis, 1)
+        self.w_size = self.mesh.shape.get(w_axis, 1)
+
+        self.nlat, self.nlon = nlat, nlon
+        self.lmax, self.mmax = lmax, mmax
+
+        if nlon % self.w_size != 0:
+            raise ValueError(f"nlon ({nlon}) must be divisible by w ({self.w_size})")
+
+        # padded global sizes (divisible by the owning axis)
+        self.nlat_pad = _pad_up(nlat, self.h_size)
+        self.lmax_pad = _pad_up(lmax, self.h_size)
+        self.mmax_pad = _pad_up(mmax, self.w_size)
+
+        # per-rank local shapes (all equal thanks to padding); exposed with the
+        # same names the reference queries (sfnonet.py:824-833)
+        self.lat_shapes = [self.nlat_pad // self.h_size] * self.h_size
+        self.lon_shapes = [self.nlon // self.w_size] * self.w_size
+        self.l_shapes = [self.lmax_pad // self.h_size] * self.h_size
+        self.m_shapes = [self.mmax_pad // self.w_size] * self.w_size
+
+    def _spec(self, *dims) -> P:
+        return P(*dims)
+
+    def _shard(self, f, in_specs, out_specs):
+        # fully-manual shard_map over every mesh axis (partial-manual requires
+        # Explicit axis types, unsupported for Auto meshes in jax 0.9): the
+        # batch-like axes simply shard the leading dim, matmul is replicated.
+        return jax.shard_map(
+            f,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+
+
+class DistributedRealSHT(_DistBase):
+    """Forward (analysis) SHT sharded over ("h", "w").
+
+    Input: real field, global logical shape ``(..., nlat_pad, nlon)`` sharded
+    ``P(..., "h", "w")``; values in padded latitude rows are ignored.
+    Output: complex coefficients, global shape ``(..., lmax_pad, mmax_pad)``
+    sharded the same way; padded degrees/orders are zero.
+    """
+
+    def __init__(self, nlat, nlon, lmax=None, mmax=None, grid="equiangular", norm="ortho", csphase=True, h_axis="h", w_axis="w"):
+        lmax = min(lmax or nlat, nlat)
+        mmax = min(mmax or nlon // 2 + 1, nlon // 2 + 1)
+        super().__init__(nlat, nlon, lmax, mmax, h_axis, w_axis)
+        self.grid = grid
+
+        theta, wq = precompute_latitudes(nlat, grid=grid)
+        pct = precompute_legpoly(self.mmax, self.lmax, theta, norm=norm, csphase=csphase)
+        wgl = 2.0 * np.pi * pct * wq[None, None, :]
+        # pad (m, l, k) up to (mmax_pad, lmax_pad, nlat_pad) with zeros: padded
+        # grid rows contribute nothing, padded modes come out zero.
+        tbl = np.zeros((self.mmax_pad, self.lmax_pad, self.nlat_pad), dtype=np.float32)
+        tbl[: self.mmax, : self.lmax, : self.nlat] = wgl
+        self._table = jnp.asarray(tbl)
+
+        n_half = self.nlon // 2 + 1
+        h, w = self.h_size, self.w_size
+
+        def analysis(x, table):
+            # x local: (B, C, K_loc, W_loc); table local: (M_loc, L_pad, K_loc)
+            if w > 1:
+                x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
+            xf = jnp.fft.rfft(x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward")
+            if self.mmax_pad <= n_half:
+                xf = xf[..., : self.mmax_pad]
+            else:
+                xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, self.mmax_pad - n_half)])
+            xr = jnp.stack([xf.real, xf.imag], axis=-1)  # (B, C', K_loc, M_pad, 2)
+            if w > 1:
+                xr = lax.all_to_all(xr, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
+            # partial Legendre GEMM over the local latitude rows
+            part = jnp.einsum("bckmr,mlk->bclmr", xr, table, precision=_PRECISION)
+            if h > 1:
+                part = lax.psum_scatter(part, self.h_axis, scatter_dimension=2, tiled=True)
+            return lax.complex(part[..., 0], part[..., 1])
+
+        self._fn = self._shard(
+            analysis,
+            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis), self._spec(self.w_axis, None, self.h_axis)),
+            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+        )
+
+    def __call__(self, x):
+        return self._fn(x, self._table)
+
+
+class DistributedInverseRealSHT(_DistBase):
+    """Inverse (synthesis) SHT sharded over ("h", "w").
+
+    Input: complex coefficients ``(..., lmax_pad, mmax_pad)``; output: real
+    field ``(..., nlat_pad, nlon)`` with zeros in padded latitude rows.
+    """
+
+    def __init__(self, nlat, nlon, lmax=None, mmax=None, grid="equiangular", norm="ortho", csphase=True, h_axis="h", w_axis="w"):
+        lmax = min(lmax or nlat, nlat)
+        mmax = min(mmax or nlon // 2 + 1, nlon // 2 + 1)
+        super().__init__(nlat, nlon, lmax, mmax, h_axis, w_axis)
+        self.grid = grid
+
+        theta, _ = precompute_latitudes(nlat, grid=grid)
+        pct = precompute_legpoly(self.mmax, self.lmax, theta, norm=norm, inverse=True, csphase=csphase)
+        tbl = np.zeros((self.mmax_pad, self.lmax_pad, self.nlat_pad), dtype=np.float32)
+        tbl[: self.mmax, : self.lmax, : self.nlat] = pct
+        self._table = jnp.asarray(tbl)
+
+        n_half = self.nlon // 2 + 1
+        h, w = self.h_size, self.w_size
+
+        def synthesis(c, table):
+            # c local: (B, C, L_loc, M_loc); table local: (M_loc, L_pad, K_loc)
+            cr = jnp.stack([c.real, c.imag], axis=-1)
+            if h > 1:
+                cr = lax.all_gather(cr, self.h_axis, axis=2, tiled=True)  # (B, C, L_pad, M_loc, 2)
+            xk = jnp.einsum("bclmr,mlk->bckmr", cr, table, precision=_PRECISION)
+            if w > 1:
+                xk = lax.all_to_all(xk, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
+            xc = lax.complex(xk[..., 0], xk[..., 1])  # (B, C', K_loc, M_pad)
+            if self.mmax_pad <= n_half:
+                xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(0, n_half - self.mmax_pad)])
+            else:
+                xc = xc[..., :n_half]
+            x = jnp.fft.irfft(xc, n=self.nlon, axis=-1, norm="forward")
+            if w > 1:
+                x = lax.all_to_all(x, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
+            return x
+
+        self._fn = self._shard(
+            synthesis,
+            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis), self._spec(self.w_axis, None, self.h_axis)),
+            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+        )
+
+    def __call__(self, c):
+        return self._fn(c, self._table)
+
+
+class DistributedRealFFT2(_DistBase):
+    """Planar distributed 2D real FFT (for the FNO path; ref mpu/fft.py:148-182).
+
+    w stage: all_to_all channel<->lon, local rfft, truncate to mmax, transpose
+    back. h stage: all_to_all channel<->lat, local full FFT, two-sided
+    truncation to lmax, transpose back. Channels must be divisible by both
+    axis sizes (padding at the model level if needed).
+    """
+
+    def __init__(self, nlat, nlon, lmax=None, mmax=None, h_axis="h", w_axis="w"):
+        lmax = min(lmax or nlat, nlat)
+        mmax = min(mmax or nlon // 2 + 1, nlon // 2 + 1)
+        super().__init__(nlat, nlon, lmax, mmax, h_axis, w_axis)
+        if nlat % self.h_size != 0:
+            raise ValueError("distributed FFT requires nlat divisible by h")
+        if self.nlat_pad != nlat or self.lmax_pad != lmax:
+            # FFT cannot skip padded rows the way the Legendre GEMM can.
+            self.nlat_pad = nlat
+            self.lmax_pad = _pad_up(lmax, self.h_size)
+
+        h, w = self.h_size, self.w_size
+        n_half = nlon // 2 + 1
+        lmax_high = math.ceil(lmax / 2)
+        lmax_low = lmax // 2
+
+        def forward(x):
+            if w > 1:
+                x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
+            xf = jnp.fft.rfft(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho")
+            if self.mmax_pad <= n_half:
+                xf = xf[..., : self.mmax_pad]
+            else:
+                xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, self.mmax_pad - n_half)])
+            xr = jnp.stack([xf.real, xf.imag], axis=-1)
+            if w > 1:
+                xr = lax.all_to_all(xr, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
+            if h > 1:
+                xr = lax.all_to_all(xr, self.h_axis, split_axis=1, concat_axis=2, tiled=True)
+            xc = lax.complex(xr[..., 0], xr[..., 1])
+            yf = jnp.fft.fft(xc, n=nlat, axis=-2, norm="ortho")
+            # two-sided truncation, zero-padded up to lmax_pad
+            yf = jnp.concatenate([yf[..., :lmax_high, :], yf[..., nlat - lmax_low :, :]], axis=-2)
+            if self.lmax_pad > lmax:
+                yf = jnp.pad(yf, [(0, 0)] * (yf.ndim - 2) + [(0, self.lmax_pad - lmax), (0, 0)])
+            yr = jnp.stack([yf.real, yf.imag], axis=-1)
+            if h > 1:
+                yr = lax.all_to_all(yr, self.h_axis, split_axis=2, concat_axis=1, tiled=True)
+            return lax.complex(yr[..., 0], yr[..., 1])
+
+        self._fn = self._shard(
+            forward,
+            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),),
+            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+        )
+
+    def __call__(self, x):
+        return self._fn(x)
+
+
+class DistributedInverseRealFFT2(_DistBase):
+    def __init__(self, nlat, nlon, lmax=None, mmax=None, h_axis="h", w_axis="w"):
+        lmax = min(lmax or nlat, nlat)
+        mmax = min(mmax or nlon // 2 + 1, nlon // 2 + 1)
+        super().__init__(nlat, nlon, lmax, mmax, h_axis, w_axis)
+        if nlat % self.h_size != 0:
+            raise ValueError("distributed FFT requires nlat divisible by h")
+        self.nlat_pad = nlat
+        self.lmax_pad = _pad_up(lmax, self.h_size)
+
+        h, w = self.h_size, self.w_size
+        n_half = nlon // 2 + 1
+        lmax_high = math.ceil(lmax / 2)
+        lmax_low = lmax // 2
+
+        def inverse(c):
+            cr = jnp.stack([c.real, c.imag], axis=-1)
+            if h > 1:
+                cr = lax.all_to_all(cr, self.h_axis, split_axis=1, concat_axis=2, tiled=True)
+            cc = lax.complex(cr[..., 0], cr[..., 1])[..., :lmax, :]
+            # re-insert the zero block between positive and negative frequencies
+            high = cc[..., :lmax_high, :]
+            low = cc[..., lmax - lmax_low :, :]
+            pad = [(0, 0)] * (cc.ndim - 2) + [(0, nlat - lmax), (0, 0)]
+            cc = jnp.concatenate([jnp.pad(high, pad), low], axis=-2)
+            yc = jnp.fft.ifft(cc, n=nlat, axis=-2, norm="ortho")
+            yr = jnp.stack([yc.real, yc.imag], axis=-1)
+            if h > 1:
+                yr = lax.all_to_all(yr, self.h_axis, split_axis=2, concat_axis=1, tiled=True)
+            if w > 1:
+                yr = lax.all_to_all(yr, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
+            yc = lax.complex(yr[..., 0], yr[..., 1])
+            if self.mmax_pad <= n_half:
+                yc = jnp.pad(yc, [(0, 0)] * (yc.ndim - 1) + [(0, n_half - self.mmax_pad)])
+            else:
+                yc = yc[..., :n_half]
+            y = jnp.fft.irfft(yc, n=nlon, axis=-1, norm="ortho")
+            if w > 1:
+                y = lax.all_to_all(y, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
+            return y
+
+        self._fn = self._shard(
+            inverse,
+            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),),
+            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+        )
+
+    def __call__(self, c):
+        return self._fn(c)
