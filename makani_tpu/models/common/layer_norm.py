@@ -1,0 +1,118 @@
+"""Normalization layers (flax.linen).
+
+Equivalents of the reference's norm stack (``makani/models/common/
+layer_norm.py:30-153`` and ``makani/mpu/layer_norm.py:108-290``). Under pjit
+the spatial reductions (means over sharded lat/lon) are plain ``jnp.mean``
+/ quadrature sums — GSPMD inserts the cross-device reductions the reference
+implements by hand with Welford all-reduces, so a single implementation
+serves both serial and spatially-sharded execution.
+
+The geometric variant weights statistics with the spherical quadrature, which
+also makes it exact on padded-latitude grids (padded rows carry zero weight).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from makani_tpu.utils.grids import GridQuadrature
+
+__all__ = ["InstanceNorm2d", "GeometricInstanceNormS2", "ChannelLayerNorm"]
+
+
+class InstanceNorm2d(nn.Module):
+    """Per-sample, per-channel normalization over the spatial dims (NCHW).
+
+    Matches ``nn.InstanceNorm2d(affine, track_running_stats=False)``. If
+    ``nlat_phys`` is set, statistics ignore padded latitude rows beyond it
+    (the TPU uneven-split convention).
+    """
+
+    num_features: int
+    eps: float = 1e-6
+    affine: bool = True
+    nlat_phys: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xs = x.astype(jnp.float32)
+        if self.nlat_phys is not None and self.nlat_phys < x.shape[-2]:
+            nlat_pad = x.shape[-2]
+            mask = (jnp.arange(nlat_pad) < self.nlat_phys).astype(jnp.float32)[:, None]
+            count = self.nlat_phys * x.shape[-1]
+            mean = jnp.sum(xs * mask, axis=(-2, -1), keepdims=True) / count
+            var = jnp.sum(jnp.square(xs - mean) * mask, axis=(-2, -1), keepdims=True) / count
+        else:
+            mean = jnp.mean(xs, axis=(-2, -1), keepdims=True)
+            var = jnp.var(xs, axis=(-2, -1), keepdims=True)
+        y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
+            y = y * weight.astype(x.dtype)[None, :, None, None] + bias.astype(x.dtype)[None, :, None, None]
+        return y
+
+
+class GeometricInstanceNormS2(nn.Module):
+    """Instance norm with quadrature-weighted (area-correct) statistics
+    (ref common/layer_norm.py:30-153)."""
+
+    img_shape: tuple
+    grid_type: str = "equiangular"
+    num_features: int = 1
+    crop_shape: tuple | None = None
+    crop_offset: tuple = (0, 0)
+    eps: float = 1e-6
+    affine: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from makani_tpu.utils.grids import grid_to_quadrature_rule
+
+        quad_rule = grid_to_quadrature_rule(self.grid_type)
+        self._quad = GridQuadrature(
+            quad_rule,
+            self.img_shape,
+            crop_shape=self.crop_shape,
+            crop_offset=self.crop_offset,
+            normalize=True,
+        )
+        if self.affine:
+            self.weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
+            self.bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xs = x.astype(jnp.float32)
+        mean = self._quad(xs)[..., None, None]
+        var = self._quad(jnp.square(xs - mean))[..., None, None]
+        y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        if self.affine:
+            y = y * self.weight.astype(x.dtype)[None, :, None, None] + self.bias.astype(x.dtype)[None, :, None, None]
+        return y
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel dim of NCHW input (ref DistributedLayerNorm,
+    mpu/layer_norm.py:256-290; channel dim is never sharded spatially so the
+    serial form is exact)."""
+
+    num_features: int
+    eps: float = 1e-6
+    affine: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=1, keepdims=True)
+        var = jnp.var(xs, axis=1, keepdims=True)
+        y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
+            y = y * weight.astype(x.dtype)[None, :, None, None] + bias.astype(x.dtype)[None, :, None, None]
+        return y

@@ -73,7 +73,10 @@ class RealSHT:
         pct = precompute_legpoly(self.mmax, self.lmax, theta, norm=norm, csphase=csphase)
         # fold quadrature weights and the 2*pi longitude measure into the table
         weights = 2.0 * np.pi * pct * w[None, None, :]
-        self._weights = jnp.asarray(weights.astype(np.float32))
+        # kept as numpy: transform objects may be constructed inside a jit
+        # trace (flax setup), where creating device arrays would leak tracers;
+        # numpy constants fold into the executable at call sites instead.
+        self._weights = weights.astype(np.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         xf = jnp.fft.rfft(x, n=self.nlon, axis=-1, norm="forward")
@@ -99,7 +102,7 @@ class InverseRealSHT:
 
         theta, _ = precompute_latitudes(nlat, grid=grid)
         pct = precompute_legpoly(self.mmax, self.lmax, theta, norm=norm, inverse=True, csphase=csphase)
-        self._pct = jnp.asarray(pct.astype(np.float32))
+        self._pct = pct.astype(np.float32)
 
     def __call__(self, coeff: jnp.ndarray) -> jnp.ndarray:
         xf = _synthesis_contract(coeff, self._pct)

@@ -118,7 +118,7 @@ class DistributedRealSHT(_DistBase):
         # grid rows contribute nothing, padded modes come out zero.
         tbl = np.zeros((self.mmax_pad, self.lmax_pad, self.nlat_pad), dtype=np.float32)
         tbl[: self.mmax, : self.lmax, : self.nlat] = wgl
-        self._table = jnp.asarray(tbl)
+        self._table = tbl  # numpy: safe to build under a jit trace
 
         n_half = self.nlon // 2 + 1
         h, w = self.h_size, self.w_size
@@ -168,7 +168,7 @@ class DistributedInverseRealSHT(_DistBase):
         pct = precompute_legpoly(self.mmax, self.lmax, theta, norm=norm, inverse=True, csphase=csphase)
         tbl = np.zeros((self.mmax_pad, self.lmax_pad, self.nlat_pad), dtype=np.float32)
         tbl[: self.mmax, : self.lmax, : self.nlat] = pct
-        self._table = jnp.asarray(tbl)
+        self._table = tbl  # numpy: safe to build under a jit trace
 
         n_half = self.nlon // 2 + 1
         h, w = self.h_size, self.w_size

@@ -119,10 +119,16 @@ class GridQuadrature:
             crop_offset[0] : crop_offset[0] + crop_shape[0],
             crop_offset[1] : crop_offset[1] + crop_shape[1],
         ]
-        self.quad_weight = jnp.asarray(quad_weight.astype(np.float32))
+        # numpy for trace-safety (see ops/sht.py); becomes a jit constant
+        self.quad_weight = quad_weight.astype(np.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.sum(x * self.quad_weight.astype(x.dtype), axis=(-2, -1))
+        w = self.quad_weight
+        # padded-latitude convention: zero-weight any rows/cols beyond the
+        # physical grid (distributed transforms pad lat to the mesh multiple)
+        if x.shape[-2] > w.shape[-2] or x.shape[-1] > w.shape[-1]:
+            w = np.pad(w, [(0, x.shape[-2] - w.shape[-2]), (0, x.shape[-1] - w.shape[-1])])
+        return jnp.sum(x * jnp.asarray(w, dtype=x.dtype), axis=(-2, -1))
 
 
 class GridConverter:
@@ -159,13 +165,13 @@ class GridConverter:
                     w = (dst_sorted - src_sorted[jj]) / (src_sorted[jj + 1] - src_sorted[jj])
                     # convert to indices into the original (descending) array
                     self.indices = (nlat - 2 - jj).astype(np.int64)
-                    self.interp_weights = jnp.asarray((1.0 - w)[::-1].reshape(-1, 1).astype(np.float32))
-                    self.indices = jnp.asarray(self.indices[::-1])
+                    self.interp_weights = np.ascontiguousarray((1.0 - w)[::-1].reshape(-1, 1).astype(np.float32))
+                    self.indices = np.ascontiguousarray(self.indices[::-1])
                 else:
                     jj = np.clip(np.searchsorted(src, self.dst_lat) - 1, 0, nlat - 2)
                     w = (self.dst_lat - src[jj]) / (src[jj + 1] - src[jj])
-                    self.indices = jnp.asarray(jj.astype(np.int64))
-                    self.interp_weights = jnp.asarray(w.reshape(-1, 1).astype(np.float32))
+                    self.indices = jj.astype(np.int64)
+                    self.interp_weights = w.reshape(-1, 1).astype(np.float32)
             else:
                 raise NotImplementedError(f"Error, destination grid type {self.dst} not implemented.")
         else:
