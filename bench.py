@@ -1,0 +1,117 @@
+"""Benchmark: SFNO-73ch training throughput on one chip.
+
+Runs the flagship SFNO (73 channels, dhconv, embed_dim 384, 8 layers, scale
+factor 3 — the reference's sfno_linear_73chq_sc3_layers8_edim384 lineage) in
+bf16 on synthetic device-resident data and measures steady-state training
+step time (forward + backward + adam).
+
+Resolution defaults to 0.5 deg (361x720): the reference trains the 0.25 deg
+model with h=4 spatial model parallelism across four 80GB GPUs per batch
+element (README.md:56-58), so a full-resolution single-chip run does not fit
+on one 16GB chip for either framework. Override with BENCH_NLAT/BENCH_NLON.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` divides by BENCH_BASELINE_SPS (samples/sec; default 1.0 until
+a measured A100 reference exists — BASELINE.md records none published).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from makani_tpu.models.model_registry import get_model
+    from makani_tpu.utils.loss import LossHandler
+    from makani_tpu.utils.yparams import ParamsBase
+
+    nlat = int(os.environ.get("BENCH_NLAT", 361))
+    nlon = int(os.environ.get("BENCH_NLON", 720))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    embed = int(os.environ.get("BENCH_EMBED", 384))
+    layers = int(os.environ.get("BENCH_LAYERS", 8))
+    steps = int(os.environ.get("BENCH_STEPS", 8))
+    warmup = int(os.environ.get("BENCH_WARMUP", 2))
+
+    names = [f"ch{i}" for i in range(73)]
+    params = ParamsBase(
+        dict(
+            nettype="SFNO",
+            img_shape_x=nlat,
+            img_shape_y=nlon,
+            scale_factor=3,
+            embed_dim=embed,
+            num_layers=layers,
+            operator_type="dhconv",
+            normalization_layer="instance_norm",
+            channel_names=names,
+            in_channels=list(range(73)),
+            out_channels=list(range(73)),
+            n_history=0,
+            n_future=0,
+            add_zenith=True,
+            compute_dtype="bfloat16",
+            losses=[{"type": "l2", "channel_weights": "constant", "parameters": {"squared": True}}],
+            lr=1e-3,
+            optimizer_type="Adam",
+            scheduler="none",
+            multistep={"push_forward": False},
+        )
+    )
+
+    model, _ = get_model(params, multistep=True)
+    loss_obj = LossHandler(params)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 73, nlat, nlon).astype(np.float32))
+    zen = jnp.asarray(rng.randn(batch, 1, 1, nlat, nlon).astype(np.float32))
+    tar = jnp.asarray(rng.randn(batch, 73, nlat, nlon).astype(np.float32))
+
+    model_params = model.init(jax.random.PRNGKey(0), x, zen)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(model_params)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(p, s, inp, target, z):
+        def loss_fn(q):
+            pred = model.apply(q, inp, z, train=True)
+            return loss_obj(pred, target, inp=inp, train=True)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return loss, optax.apply_updates(p, updates), s
+
+    for _ in range(warmup):
+        loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+
+    sps = batch / dt
+    baseline = float(os.environ.get("BENCH_BASELINE_SPS", 1.0))
+    result = {
+        "metric": f"SFNO-73ch {nlat}x{nlon} e{embed}L{layers} bf16 train samples/sec/chip",
+        "value": round(sps, 4),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / baseline, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

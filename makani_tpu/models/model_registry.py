@@ -1,0 +1,173 @@
+"""Model registry and factory (ref makani/models/model_registry.py:36-275).
+
+Maps nettype strings onto flax module constructors, derives the effective
+input/output channel counts from the config (history, zenith, static
+features — ref utils/driver.py:174-269), and wraps the core network in the
+single- or multi-step wrapper together with its preprocessor.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+from makani_tpu.models.preprocessor import Preprocessor2D
+from makani_tpu.models.stepper import MultiStepWrapper, SingleStepWrapper
+from makani_tpu.utils.features import get_auxiliary_channels
+
+__all__ = ["register_model", "list_models", "get_model_handle", "get_model"]
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str, handle: Callable):
+    if name in _REGISTRY:
+        raise ValueError(f"model {name} already registered")
+    _REGISTRY[name] = handle
+
+
+def list_models():
+    _populate()
+    return sorted(_REGISTRY)
+
+
+def _populate():
+    if _REGISTRY:
+        return
+    from makani_tpu.models.networks.debug import DebugNet
+    from makani_tpu.models.networks.sfnonet import FourierNeuralOperatorNet, SphericalFourierNeuralOperatorNet
+
+    _REGISTRY["SFNO"] = SphericalFourierNeuralOperatorNet
+    _REGISTRY["FNO"] = FourierNeuralOperatorNet
+    _REGISTRY["DebugNet"] = DebugNet
+    # registered lazily to keep import costs down
+    for name, path in [
+        ("AFNO", "makani_tpu.models.networks.afnonet:AdaptiveFourierNeuralOperatorNet"),
+        ("AFNOv2", "makani_tpu.models.networks.afnonet_v2:AdaptiveFourierNeuralOperatorNetV2"),
+        ("ViT", "makani_tpu.models.networks.vit:VisionTransformer"),
+        ("SNO", "makani_tpu.models.networks.snonet:SphericalNeuralOperatorNet"),
+        ("FCN3", "makani_tpu.models.networks.fourcastnet3:AtmoSphericNeuralOperatorNet"),
+        ("Pangu", "makani_tpu.models.networks.pangu:Pangu"),
+    ]:
+        _REGISTRY[name] = path
+
+
+def get_model_handle(nettype: str):
+    _populate()
+    if nettype not in _REGISTRY:
+        raise ValueError(f"unknown model {nettype}; available: {list_models()}")
+    handle = _REGISTRY[nettype]
+    if isinstance(handle, str):
+        mod_name, cls_name = handle.split(":")
+        import importlib
+
+        handle = getattr(importlib.import_module(mod_name), cls_name)
+        _REGISTRY[nettype] = handle
+    return handle
+
+
+def count_channels(params, preprocessor: Preprocessor2D):
+    """Effective in/out channel counts seen by the core network
+    (ref driver.py:174-269)."""
+    n_prog = len(params.get("in_channels", range(params.get("N_in_channels", 0)))) or params.get("n_channels", 0)
+    n_hist = params.get("n_history", 0) + 1
+
+    aux = get_auxiliary_channels(
+        add_zenith=params.get("add_zenith", False),
+        n_noise_chan=(params.get("input_noise", {}) or {}).get("n_channels", 0)
+        if (params.get("input_noise", {}) or {}).get("mode", "concatenate") == "concatenate"
+        else 0,
+    )
+    n_dyn_aux = len(aux)
+    n_static = preprocessor.n_static_channels
+
+    n_in = n_hist * (n_prog + n_dyn_aux) + n_static
+    n_out = len(params.get("out_channels", range(n_prog)))
+    return n_in, n_out
+
+
+def get_model(params, multistep: bool = False):
+    """Build (wrapper_module, preprocessor) from a params object."""
+    nettype = params.get("nettype", "SFNO")
+    handle = get_model_handle(nettype)
+
+    preprocessor = Preprocessor2D(params)
+    n_in, n_out = count_channels(params, preprocessor)
+    params["N_in_channels"] = n_in
+    params["N_out_channels"] = n_out
+
+    inp_shape = (params.get("img_shape_x"), params.get("img_shape_y"))
+    out_shape = (params.get("out_shape_x", inp_shape[0]), params.get("out_shape_y", inp_shape[1]))
+
+    kwargs = dict(
+        inp_shape=inp_shape,
+        out_shape=out_shape,
+        inp_chans=n_in,
+        out_chans=n_out,
+    )
+    # forward every config key the model declares as a field
+    fields = set(getattr(handle, "__dataclass_fields__", {}))
+    for key in (
+        "spectral_transform",
+        "model_grid_type",
+        "sht_grid_type",
+        "filter_type",
+        "operator_type",
+        "scale_factor",
+        "embed_dim",
+        "num_layers",
+        "use_mlp",
+        "mlp_ratio",
+        "encoder_ratio",
+        "decoder_ratio",
+        "activation_function",
+        "encoder_layers",
+        "pos_embed",
+        "pos_drop_rate",
+        "path_drop_rate",
+        "mlp_drop_rate",
+        "normalization_layer",
+        "max_modes",
+        "hard_thresholding_fraction",
+        "big_skip",
+        "separable",
+        "complex_activation",
+        "spectral_layers",
+        "checkpointing_level",
+        "num_groups",
+        "patch_size",
+        "depth",
+        "num_heads",
+        "num_blocks",
+        "sparsity_threshold",
+        "kernel_shape",
+        "encoder_kernel_shape",
+        "sfno_block_frequency",
+        "atmo_embed_dim",
+        "surf_embed_dim",
+        "aux_embed_dim",
+    ):
+        if key in fields and params.get(key, None) is not None:
+            kwargs[key] = params.get(key)
+    if "use_bias" in fields and params.get("bias", None) is not None:
+        kwargs["use_bias"] = params.get("bias")
+    if "dtype" in fields:
+        compute_dtype = params.get("compute_dtype", "float32")
+        kwargs["dtype"] = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+
+    model = handle(**{k: v for k, v in kwargs.items() if k in fields})
+
+    if multistep:
+        ms = params.get("multistep", {"push_forward": False}) or {"push_forward": False}
+        wrapper = MultiStepWrapper(
+            model=model,
+            preprocessor=preprocessor,
+            n_future=params.get("n_future", 0),
+            push_forward=ms.get("push_forward", False),
+            multistep_checkpoint=params.get("multistep_checkpoint", False),
+        )
+    else:
+        wrapper = SingleStepWrapper(model=model, preprocessor=preprocessor)
+
+    return wrapper, preprocessor

@@ -18,6 +18,8 @@ import math
 
 import jax.numpy as jnp
 
+from . import fft_compat
+
 __all__ = ["RealFFT1", "InverseRealFFT1", "RealFFT2", "InverseRealFFT2", "RealFFT3", "InverseRealFFT3"]
 
 
@@ -28,7 +30,7 @@ class RealFFT1:
         self.mmax = min(mmax or nlon // 2 + 1, self.lmax)
 
     def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
-        y = jnp.fft.rfft(x, n=self.nlon, axis=-1, norm=norm)
+        y = fft_compat.rfft(x, n=self.nlon, axis=-1, norm=norm)
         return y[..., : self.mmax]
 
 
@@ -39,7 +41,7 @@ class InverseRealFFT1:
         self.mmax = min(mmax or nlon // 2 + 1, self.lmax)
 
     def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
-        return jnp.fft.irfft(x, n=self.nlon, axis=-1, norm=norm)
+        return fft_compat.irfft(x, n=self.nlon, axis=-1, norm=norm)
 
 
 class RealFFT2:
@@ -56,7 +58,7 @@ class RealFFT2:
         self.lmax_low = math.floor(self.lmax / 2)
 
     def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
-        y = jnp.fft.rfft2(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+        y = fft_compat.rfft2(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
         if self.truncate:
             y = jnp.concatenate(
                 (y[..., : self.lmax_high, : self.mmax], y[..., y.shape[-2] - self.lmax_low :, : self.mmax]),
@@ -87,7 +89,7 @@ class InverseRealFFT2:
             xthp = jnp.pad(xth, pad)
             xt = jnp.concatenate([xthp, xtl], axis=-2)
         # pad the one-sided lon axis back out implicitly via irfft2's s argument
-        return jnp.fft.irfft2(xt, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+        return fft_compat.irfft2(xt, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
 
 
 def _two_sided_slices(n: int, lmax: int):
@@ -111,7 +113,9 @@ class RealFFT3:
         self.truncate = not ((self.ldmax == nd) and (self.lhmax == nh) and (self.lwmax == nw // 2 + 1))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = jnp.fft.rfftn(x, s=(self.nd, self.nh, self.nw), axes=(-3, -2, -1), norm="ortho")
+        y = fft_compat.rfft(x, n=self.nw, axis=-1, norm="ortho")
+        y = fft_compat.fft(y, n=self.nh, axis=-2, norm="ortho")
+        y = fft_compat.fft(y, n=self.nd, axis=-3, norm="ortho")
         if self.truncate:
             y = jnp.concatenate((y[..., : self.ldmax_high, :, :], y[..., y.shape[-3] - self.ldmax_low :, :, :]), axis=-3)
             y = jnp.concatenate((y[..., : self.lhmax_high, :], y[..., y.shape[-2] - self.lhmax_low :, :]), axis=-2)
@@ -143,4 +147,6 @@ class InverseRealFFT3:
             xl = x[..., x.shape[-2] - self.lhmax_low :, :]
             pad = [(0, 0)] * (x.ndim - 2) + [(0, self.nh - self.lhmax), (0, 0)]
             x = jnp.concatenate([jnp.pad(xh, pad), xl], axis=-2)
-        return jnp.fft.irfftn(x, s=(self.nd, self.nh, self.nw), axes=(-3, -2, -1), norm="ortho")
+        x = fft_compat.ifft(x, n=self.nd, axis=-3, norm="ortho")
+        x = fft_compat.ifft(x, n=self.nh, axis=-2, norm="ortho")
+        return fft_compat.irfft(x, n=self.nw, axis=-1, norm="ortho")

@@ -1,0 +1,171 @@
+"""FFT dispatch layer.
+
+All spectral code routes its Fourier transforms through these wrappers
+instead of calling ``jnp.fft`` directly, for two reasons:
+
+  1. **XLA CPU bug**: the CPU thunk runtime's FFT rejects non-major input
+     layouts (``fft_thunk.cc: LayoutUtil::IsMonotonicWithDim0Major``), which
+     layout assignment produces when the FFT sits inside a fused train step.
+     On the CPU backend (tests / virtual mesh) we therefore compute the DFT
+     as an explicit matmul against precomputed cos/sin matrices — exact, and
+     test grids are tiny.
+  2. **TPU tuning hook**: a matmul DFT computes only the ``mmax`` retained
+     modes and runs on the MXU; for heavily truncated transforms it can beat
+     the XLA FFT. ``FORCE_MATMUL`` flips every backend onto that path so the
+     benchmark can compare.
+
+Conventions follow ``numpy.fft`` (norm in {"backward", "ortho", "forward"}).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rfft", "irfft", "fft", "ifft", "rfft2", "irfft2", "use_matmul_fft"]
+
+# set to True to force the matmul-DFT path on all backends (perf experiments)
+FORCE_MATMUL = False
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def use_matmul_fft() -> bool:
+    return FORCE_MATMUL or jax.default_backend() == "cpu"
+
+
+def _norm_factor(n: int, norm: str | None, inverse: bool) -> float:
+    norm = norm or "backward"
+    if norm == "backward":
+        return 1.0 / n if inverse else 1.0
+    if norm == "forward":
+        return 1.0 if inverse else 1.0 / n
+    if norm == "ortho":
+        return 1.0 / math.sqrt(n)
+    raise ValueError(f"unknown norm {norm}")
+
+
+@lru_cache(maxsize=None)
+def _rdft_mats(n: int):
+    """cos/sin matrices (n, n//2+1) for the forward real DFT."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * k * m / n
+    return np.cos(ang).astype(np.float32), -np.sin(ang).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _irdft_mats(n: int):
+    """cos/sin matrices (n//2+1, n) for the inverse real DFT with one-sided
+    doubling folded in."""
+    m = np.arange(n // 2 + 1)[:, None]
+    k = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * m / n
+    w = np.full((n // 2 + 1, 1), 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    return (w * np.cos(ang)).astype(np.float32), (-w * np.sin(ang)).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _dft_mats(n: int, sign: int):
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    ang = 2.0 * np.pi * k * m / n * sign
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _move_last(x, axis):
+    return jnp.moveaxis(x, axis, -1) if axis not in (-1, x.ndim - 1) else x
+
+
+def _unmove_last(x, axis, ndim):
+    return jnp.moveaxis(x, -1, axis) if axis not in (-1, ndim - 1) else x
+
+
+def rfft(x, n=None, axis=-1, norm=None):
+    n = n or x.shape[axis]
+    if not use_matmul_fft():
+        return jnp.fft.rfft(x, n=n, axis=axis, norm=norm)
+    xm = _move_last(x, axis)
+    if xm.shape[-1] != n:
+        if xm.shape[-1] > n:
+            xm = xm[..., :n]
+        else:
+            xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - xm.shape[-1])])
+    c, s = _rdft_mats(n)
+    f = _norm_factor(n, norm, inverse=False)
+    re = jnp.einsum("...k,km->...m", xm, c, precision=_PRECISION) * f
+    im = jnp.einsum("...k,km->...m", xm, s, precision=_PRECISION) * f
+    out = jax.lax.complex(re, im)
+    return _unmove_last(out, axis, x.ndim)
+
+
+def irfft(x, n=None, axis=-1, norm=None):
+    n = n or 2 * (x.shape[axis] - 1)
+    if not use_matmul_fft():
+        return jnp.fft.irfft(x, n=n, axis=axis, norm=norm)
+    xm = _move_last(x, axis)
+    n_half = n // 2 + 1
+    if xm.shape[-1] != n_half:
+        if xm.shape[-1] > n_half:
+            xm = xm[..., :n_half]
+        else:
+            xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n_half - xm.shape[-1])])
+    c, s = _irdft_mats(n)
+    f = _norm_factor(n, norm, inverse=True)
+    out = (
+        jnp.einsum("...m,mk->...k", xm.real, c, precision=_PRECISION)
+        + jnp.einsum("...m,mk->...k", xm.imag, s, precision=_PRECISION)
+    ) * f
+    return _unmove_last(out, axis, x.ndim)
+
+
+def fft(x, n=None, axis=-1, norm=None):
+    n = n or x.shape[axis]
+    if not use_matmul_fft():
+        return jnp.fft.fft(x, n=n, axis=axis, norm=norm)
+    xm = _move_last(x, axis)
+    c, s = _dft_mats(n, sign=-1)
+    f = _norm_factor(n, norm, inverse=False)
+    xr, xi = jnp.real(xm), jnp.imag(xm)
+    re = (jnp.einsum("...k,km->...m", xr, c, precision=_PRECISION) - jnp.einsum("...k,km->...m", xi, s, precision=_PRECISION)) * f
+    im = (jnp.einsum("...k,km->...m", xr, s, precision=_PRECISION) + jnp.einsum("...k,km->...m", xi, c, precision=_PRECISION)) * f
+    return _unmove_last(jax.lax.complex(re, im), axis, x.ndim)
+
+
+def ifft(x, n=None, axis=-1, norm=None):
+    n = n or x.shape[axis]
+    if not use_matmul_fft():
+        return jnp.fft.ifft(x, n=n, axis=axis, norm=norm)
+    xm = _move_last(x, axis)
+    c, s = _dft_mats(n, sign=+1)
+    f = _norm_factor(n, norm, inverse=True)
+    xr, xi = jnp.real(xm), jnp.imag(xm)
+    re = (jnp.einsum("...k,km->...m", xr, c, precision=_PRECISION) - jnp.einsum("...k,km->...m", xi, s, precision=_PRECISION)) * f
+    im = (jnp.einsum("...k,km->...m", xr, s, precision=_PRECISION) + jnp.einsum("...k,km->...m", xi, c, precision=_PRECISION)) * f
+    return _unmove_last(jax.lax.complex(re, im), axis, x.ndim)
+
+
+def rfft2(x, s=None, axes=(-2, -1), norm=None):
+    if not use_matmul_fft():
+        return jnp.fft.rfft2(x, s=s, axes=axes, norm=norm)
+    n0 = s[0] if s else x.shape[axes[0]]
+    n1 = s[1] if s else x.shape[axes[1]]
+    y = rfft(x, n=n1, axis=axes[1], norm=norm)
+    return fft(y, n=n0, axis=axes[0], norm=norm)
+
+
+def irfft2(x, s=None, axes=(-2, -1), norm=None):
+    if not use_matmul_fft():
+        return jnp.fft.irfft2(x, s=s, axes=axes, norm=norm)
+    n0 = s[0] if s else x.shape[axes[0]]
+    n1 = s[1] if s else 2 * (x.shape[axes[1]] - 1)
+    y = ifft(x, n=n0, axis=axes[0], norm=norm)
+    return irfft(y, n=n1, axis=axes[1], norm=norm)

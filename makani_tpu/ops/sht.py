@@ -29,6 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import fft_compat
 from .legendre import precompute_legpoly
 from .quadrature import precompute_latitudes
 
@@ -79,7 +80,7 @@ class RealSHT:
         self._weights = weights.astype(np.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        xf = jnp.fft.rfft(x, n=self.nlon, axis=-1, norm="forward")
+        xf = fft_compat.rfft(x, n=self.nlon, axis=-1, norm="forward")
         xf = xf[..., : self.mmax]
         # move lon-modes next to lat for the contraction: (..., nlat, mmax)
         return _analysis_contract(xf, self._weights)
@@ -106,4 +107,4 @@ class InverseRealSHT:
 
     def __call__(self, coeff: jnp.ndarray) -> jnp.ndarray:
         xf = _synthesis_contract(coeff, self._pct)
-        return jnp.fft.irfft(xf, n=self.nlon, axis=-1, norm="forward")
+        return fft_compat.irfft(xf, n=self.nlon, axis=-1, norm="forward")

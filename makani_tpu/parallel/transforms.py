@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from makani_tpu.ops import fft_compat
 from makani_tpu.ops.legendre import precompute_legpoly
 from makani_tpu.ops.quadrature import precompute_latitudes
 from makani_tpu.parallel import mesh as mesh_mod
@@ -127,7 +128,7 @@ class DistributedRealSHT(_DistBase):
             # x local: (B, C, K_loc, W_loc); table local: (M_loc, L_pad, K_loc)
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xf = jnp.fft.rfft(x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward")
+            xf = fft_compat.rfft(x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward")
             if self.mmax_pad <= n_half:
                 xf = xf[..., : self.mmax_pad]
             else:
@@ -186,7 +187,7 @@ class DistributedInverseRealSHT(_DistBase):
                 xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(0, n_half - self.mmax_pad)])
             else:
                 xc = xc[..., :n_half]
-            x = jnp.fft.irfft(xc, n=self.nlon, axis=-1, norm="forward")
+            x = fft_compat.irfft(xc, n=self.nlon, axis=-1, norm="forward")
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             return x
@@ -229,7 +230,7 @@ class DistributedRealFFT2(_DistBase):
         def forward(x):
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xf = jnp.fft.rfft(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho")
+            xf = fft_compat.rfft(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho")
             if self.mmax_pad <= n_half:
                 xf = xf[..., : self.mmax_pad]
             else:
@@ -240,7 +241,7 @@ class DistributedRealFFT2(_DistBase):
             if h > 1:
                 xr = lax.all_to_all(xr, self.h_axis, split_axis=1, concat_axis=2, tiled=True)
             xc = lax.complex(xr[..., 0], xr[..., 1])
-            yf = jnp.fft.fft(xc, n=nlat, axis=-2, norm="ortho")
+            yf = fft_compat.fft(xc, n=nlat, axis=-2, norm="ortho")
             # two-sided truncation, zero-padded up to lmax_pad
             yf = jnp.concatenate([yf[..., :lmax_high, :], yf[..., nlat - lmax_low :, :]], axis=-2)
             if self.lmax_pad > lmax:
@@ -285,7 +286,7 @@ class DistributedInverseRealFFT2(_DistBase):
             low = cc[..., lmax - lmax_low :, :]
             pad = [(0, 0)] * (cc.ndim - 2) + [(0, nlat - lmax), (0, 0)]
             cc = jnp.concatenate([jnp.pad(high, pad), low], axis=-2)
-            yc = jnp.fft.ifft(cc, n=nlat, axis=-2, norm="ortho")
+            yc = fft_compat.ifft(cc, n=nlat, axis=-2, norm="ortho")
             yr = jnp.stack([yc.real, yc.imag], axis=-1)
             if h > 1:
                 yr = lax.all_to_all(yr, self.h_axis, split_axis=2, concat_axis=1, tiled=True)
@@ -296,7 +297,7 @@ class DistributedInverseRealFFT2(_DistBase):
                 yc = jnp.pad(yc, [(0, 0)] * (yc.ndim - 1) + [(0, n_half - self.mmax_pad)])
             else:
                 yc = yc[..., :n_half]
-            y = jnp.fft.irfft(yc, n=nlon, axis=-1, norm="ortho")
+            y = fft_compat.irfft(yc, n=nlon, axis=-1, norm="ortho")
             if w > 1:
                 y = lax.all_to_all(y, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             return y

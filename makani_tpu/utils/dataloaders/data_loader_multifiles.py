@@ -1,0 +1,137 @@
+"""Multi-file HDF5/yearly dataset (ref makani/utils/dataloaders/
+data_loader_multifiles.py:46-640).
+
+Host-side numpy pipeline over yearly HDF5 files containing a ``fields``
+dataset of shape (T, C, H, W) plus an optional ``timestamp`` dimension scale.
+A global sample index maps onto (file, offset); each sample reads an
+``n_history+1`` input window and an ``n_future+1`` target window with stride
+``dt``, z-score/minmax normalizes them, and computes the cosine solar zenith
+angle per timestep when ``add_zenith`` is set.
+
+This is the correctness backbone; the high-throughput path wraps it in a
+Grain pipeline (threaded prefetch onto sharded device arrays).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from bisect import bisect_right
+from typing import Optional
+
+import h5py
+import numpy as np
+
+from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
+from makani_tpu.utils.zenith_angle import cos_zenith_angle_from_timestamp
+
+__all__ = ["MultifilesDataset"]
+
+
+class MultifilesDataset:
+    def __init__(self, params, location: str, train: bool = True, final_eval: bool = False):
+        self.location = location
+        self.train = train
+        self.params = params
+
+        self.n_history = params.get("n_history", 0)
+        self.n_future = params.get("n_future", 0) if train else params.get("valid_autoreg_steps", 0)
+        self.dt = params.get("dt", 1)
+        self.dhours = params.get("dhours", 6)
+        self.add_zenith = params.get("add_zenith", False)
+        self.h5_path = params.get("h5_path", "fields")
+
+        self.in_channels = np.asarray(params.get("in_channels"))
+        self.out_channels = np.asarray(params.get("out_channels"))
+
+        self.files = sorted(glob.glob(os.path.join(location, "*.h5")))
+        if not self.files:
+            raise IOError(f"no HDF5 files found under {location}")
+
+        self._handles = [None] * len(self.files)
+        self.n_samples_per_file = []
+        self.timestamps = []
+        for path in self.files:
+            with h5py.File(path, "r") as f:
+                n = f[self.h5_path].shape[0]
+                shape = f[self.h5_path].shape
+                if "timestamp" in f:
+                    ts = np.asarray(f["timestamp"])
+                else:
+                    # synthesize 6-hourly timestamps from the file name (year)
+                    year = int(os.path.splitext(os.path.basename(path))[0])
+                    t0 = np.datetime64(f"{year}-01-01T00:00:00").astype("datetime64[s]").astype(np.int64)
+                    ts = t0 + np.arange(n) * self.dhours * 3600
+            self.n_samples_per_file.append(n)
+            self.timestamps.append(ts)
+
+        self.img_shape = shape[2:]
+        params["img_shape_x"], params["img_shape_y"] = self.img_shape
+
+        # margins: need n_history*dt before and (n_future+1)*dt after each index
+        self.margin_front = self.n_history * self.dt
+        self.margin_back = (self.n_future + 1) * self.dt
+        self.valid_per_file = [max(0, n - self.margin_front - self.margin_back) for n in self.n_samples_per_file]
+        self.cum = np.cumsum([0] + self.valid_per_file)
+        self.n_samples = int(self.cum[-1])
+
+        self.in_bias, self.in_scale = get_data_normalization(params)
+
+        lat = params.get("lat")
+        lon = params.get("lon")
+        if lat is None:
+            lat = np.linspace(90.0, -90.0, self.img_shape[0])
+            lon = np.linspace(0.0, 360.0, self.img_shape[1], endpoint=False)
+        self.lat_deg = np.asarray(lat, dtype=np.float64)
+        self.lon_deg = np.asarray(lon, dtype=np.float64)
+        self._lon_grid, self._lat_grid = np.meshgrid(self.lon_deg, self.lat_deg)
+
+    def __len__(self):
+        return self.n_samples
+
+    def _file_handle(self, fidx):
+        if self._handles[fidx] is None:
+            self._handles[fidx] = h5py.File(self.files[fidx], "r")
+        return self._handles[fidx]
+
+    def get_normalization(self):
+        return self.in_bias, self.in_scale
+
+    def _zenith(self, ts_list):
+        return np.stack(
+            [cos_zenith_angle_from_timestamp(float(t), self._lon_grid, self._lat_grid) for t in ts_list]
+        ).astype(np.float32)[:, None]
+
+    def __getitem__(self, idx: int):
+        fidx = bisect_right(self.cum, idx) - 1
+        local = idx - self.cum[fidx] + self.margin_front
+
+        f = self._file_handle(fidx)
+        ds = f[self.h5_path]
+        ts = self.timestamps[fidx]
+
+        inp_idx = [local - (self.n_history - i) * self.dt for i in range(self.n_history + 1)]
+        tar_idx = [local + (i + 1) * self.dt for i in range(self.n_future + 1)]
+
+        inp = np.stack([ds[i] for i in inp_idx]).astype(np.float32)[:, self.in_channels]
+        tar = np.stack([ds[i] for i in tar_idx]).astype(np.float32)[:, self.out_channels]
+
+        inp = (inp - self.in_bias) / self.in_scale
+        tar = (tar - self.in_bias) / self.in_scale
+
+        sample = {"inp": inp, "tar": tar}
+        if self.add_zenith:
+            sample["izen"] = self._zenith([ts[i] for i in inp_idx])
+            sample["tzen"] = self._zenith([ts[i] for i in tar_idx])
+        return sample
+
+    def get_sample_at_time(self, when: np.datetime64):
+        """Locate the sample whose base index matches a timestamp (inference)."""
+        target = when.astype("datetime64[s]").astype(np.int64)
+        for fidx, ts in enumerate(self.timestamps):
+            pos = np.searchsorted(ts, target)
+            if pos < len(ts) and ts[pos] == target:
+                local = pos - self.margin_front
+                if 0 <= local < self.valid_per_file[fidx]:
+                    return int(self.cum[fidx] + local)
+        raise ValueError(f"timestamp {when} not found in dataset")

@@ -1,0 +1,198 @@
+"""Composable loss handler (ref makani/utils/loss.py:57-494).
+
+Builds the configured list of loss terms, attaches per-term channel weights
+(constant/auto/"new auto"/pangu/explicit list, optionally scaled by the
+time-difference normalization and a relative weight), multistep lead-time
+weights, and the tendency-space option, then reduces everything to a scalar.
+
+Pure function design: no running-stat buffers (the reference's
+uncertainty/balanced dynamic weighting keeps Welford state; here that state,
+when enabled, is carried explicitly by the trainer). Deterministic losses of
+5D ensemble predictions consume the ensemble mean, probabilistic losses the
+full (B, E, C, H, W) — matching ref loss.py:392-456.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization, get_time_diff_stds
+from makani_tpu.utils.losses.base_loss import LossType, compute_channel_weighting
+from makani_tpu.utils.losses.lp_loss import GeometricLpLoss, SpectralH1Loss, SpectralLpLoss
+
+__all__ = ["LossHandler", "LOSS_REGISTRY"]
+
+
+def _make_registry():
+    reg = {
+        "l1": lambda **kw: GeometricLpLoss(p=1.0, **kw),
+        "l2": lambda **kw: GeometricLpLoss(p=2.0, **kw),
+        "geometric l2": lambda **kw: GeometricLpLoss(p=2.0, **kw),
+        "relative l2": lambda **kw: GeometricLpLoss(p=2.0, relative=True, **kw),
+        "squared l2": lambda **kw: GeometricLpLoss(p=2.0, squared=True, **kw),
+        "spectral l2": lambda **kw: SpectralLpLoss(p=2.0, **kw),
+        "spectral-l2": lambda **kw: SpectralLpLoss(p=2.0, **kw),
+        "h1": lambda **kw: SpectralH1Loss(**kw),
+        "spectral h1": lambda **kw: SpectralH1Loss(**kw),
+    }
+    try:
+        from makani_tpu.utils.losses.crps_loss import CRPSLoss, SpectralCRPSLoss
+
+        reg["crps"] = lambda **kw: CRPSLoss(**kw)
+        reg["spectral crps"] = lambda **kw: SpectralCRPSLoss(**kw)
+    except ImportError:
+        pass
+    try:
+        from makani_tpu.utils.losses.energy_score import EnergyScoreLoss
+
+        reg["energy score"] = lambda **kw: EnergyScoreLoss(**kw)
+    except ImportError:
+        pass
+    return reg
+
+
+LOSS_REGISTRY = _make_registry()
+
+
+def _multistep_weight(n_future: int, weight_type: str = "constant", weights=None) -> np.ndarray:
+    """Lead-time weights (ref loss.py:238-278)."""
+    n = n_future + 1
+    if weight_type == "constant":
+        w = np.ones(n) / n
+    elif weight_type == "balanced":
+        w = 2.0 * np.arange(1, n + 1) / float((n + 1) * n)
+    elif weight_type == "linear":
+        w = np.arange(1, n + 1) / float(n)
+    elif weight_type == "last-n-1":
+        w = np.ones(n) / float(n_future)
+        w[0] = 0.0
+    elif weight_type == "last":
+        w = np.zeros(n)
+        w[-1] = 1.0
+    elif weight_type == "custom":
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape[0] != n:
+            raise ValueError(f"need {n} multistep weights, got {w.shape[0]}")
+    else:
+        raise ValueError(f"Unknown multistep loss weight type: {weight_type}")
+    return w.astype(np.float32)
+
+
+class LossHandler:
+    def __init__(self, params):
+        losses = params.get("losses")
+        if losses is None:
+            losses = [{"type": params.get("loss", "l2"), "channel_weights": "constant"}]
+        if isinstance(losses, dict):
+            losses = [losses]
+
+        self.n_future = params.get("n_future", 0)
+        self.img_shape = (
+            params.get("img_shape_x"),
+            params.get("img_shape_y"),
+        )
+        channel_names = params.get("channel_names")
+
+        bias, scale = (None, None)
+        try:
+            bias, scale = get_data_normalization(params)
+        except Exception:
+            pass
+
+        self.loss_fns = []
+        self.loss_types = []
+        self.loss_requires_input = []
+        channel_weights = []
+
+        for loss in losses:
+            loss_params = loss.get("parameters", {}) or {}
+            handle = LOSS_REGISTRY.get(loss["type"])
+            if handle is None:
+                raise NotImplementedError(f"Unknown loss function: {loss['type']}")
+            fn = handle(
+                img_shape=self.img_shape,
+                channel_names=channel_names,
+                grid_type=params.get("model_grid_type", "equiangular"),
+                bias=bias,
+                scale=scale,
+                **loss_params,
+            )
+            self.loss_fns.append(fn)
+            self.loss_types.append(fn.type)
+            self.loss_requires_input.append(loss.get("tendency", False))
+
+            cw_type = loss.get("channel_weights", "constant")
+
+            if loss.get("temp_diff_normalization", False):
+                tds = get_time_diff_stds(params).reshape(-1)
+                out_ch = np.asarray(params.get("out_channels", range(len(channel_names))))
+                tds = np.clip(tds[out_ch] if tds.shape[0] > len(out_ch) - 1 else tds, 1e-4, None)
+                if scale is not None:
+                    time_diff_scale = scale.reshape(-1) / tds
+                else:
+                    time_diff_scale = 1.0 / tds
+            else:
+                time_diff_scale = None
+
+            if isinstance(cw_type, (list, tuple)):
+                chw = np.asarray(cw_type, dtype=np.float32).reshape(-1)
+                if time_diff_scale is not None:
+                    chw = chw * time_diff_scale
+            else:
+                chw = compute_channel_weighting(channel_names, cw_type, time_diff_scale=time_diff_scale)
+
+            chw = chw * loss.get("relative_weight", 1.0)
+            channel_weights.append(chw.reshape(1, -1))
+
+        self.channel_weights = np.concatenate(channel_weights, axis=1).astype(np.float32)
+
+        ms = params.get("multistep", {"weight_type": "constant"}) or {}
+        msw = _multistep_weight(self.n_future, ms.get("weight_type", "constant"), ms.get("weights"))
+        ncw = self.channel_weights.shape[1]
+        self.multistep_weight = np.repeat(msw.reshape(1, -1), ncw, axis=1).reshape(1, -1)
+
+    @property
+    def n_channels(self):
+        return self.channel_weights.shape[1]
+
+    def __call__(self, prd, tar, wgt=None, inp=None, train: bool = True):
+        """prd: (B, (n_future+1)*C, H, W) or (B, E, C, H, W); tar matches."""
+        # ensemble mean for deterministic losses
+        if prd.ndim == 5:
+            prdm = jnp.mean(prd, axis=1)
+        else:
+            prdm = prd
+
+        if inp is not None and any(self.loss_requires_input):
+            # tendency space: subtract the most recent input state
+            n_per_step = tar.shape[1] // (self.n_future + 1)
+            inp_state = inp[:, -n_per_step:]
+            reps = tar.shape[1] // n_per_step
+            inp_rep = jnp.tile(inp_state, (1, reps, 1, 1))
+            prdm_t = prdm - inp_rep
+            tar_t = tar - inp_rep
+            prd_t = prd - inp_rep[:, None] if prd.ndim == 5 else prdm_t
+        else:
+            prdm_t, tar_t, prd_t = prdm, tar, prd
+
+        vals = []
+        for fn, req, ltype in zip(self.loss_fns, self.loss_requires_input, self.loss_types):
+            if ltype == LossType.Deterministic:
+                vals.append(fn(prdm_t if req else prdm, tar_t if req else tar, wgt))
+            else:
+                vals.append(fn(prd_t if req else prd, tar_t if req else tar, wgt))
+        all_losses = jnp.concatenate(vals, axis=-1)
+
+        chw = jnp.asarray(self.channel_weights)
+        if train and self.n_future > 0:
+            chw = jnp.tile(chw, (1, self.n_future + 1)) * jnp.asarray(self.multistep_weight)
+        elif all_losses.shape[-1] != chw.shape[-1]:
+            # eval rollouts may score a single step
+            reps = all_losses.shape[-1] // chw.shape[-1]
+            chw = jnp.tile(chw, (1, reps)) / reps
+
+        return jnp.mean(jnp.sum(chw * all_losses, axis=1), axis=0)

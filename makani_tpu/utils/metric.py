@@ -1,0 +1,108 @@
+"""Online validation metrics handler (ref makani/utils/metric.py:45-746).
+
+Tracks per-(rollout-step, channel) rollout curves of the configured metrics
+(L1 / RMSE / ACC vs climatology, plus CRPS/spread/SSR for ensembles) across
+validation batches. The device side is a pure function returning per-batch
+metric values; accumulation happens on the host in numpy (cheap: the values
+are (steps, channels) scalars), replacing the reference's CUDA-stream
+Welford machinery which jit makes unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from makani_tpu.utils.grids import GridQuadrature, grid_to_quadrature_rule
+from makani_tpu.utils.metrics.functions import (
+    ensemble_crps,
+    ensemble_spread,
+    weighted_acc,
+    weighted_l1,
+    weighted_rmse,
+)
+
+__all__ = ["MetricsHandler"]
+
+
+class MetricsHandler:
+    def __init__(self, params, climatology: Optional[np.ndarray] = None, num_rollout_steps: Optional[int] = None):
+        self.img_shape = (params.get("img_shape_x"), params.get("img_shape_y"))
+        self.channel_names = list(params.get("channel_names"))
+        self.num_rollout_steps = num_rollout_steps or (params.get("valid_autoreg_steps", 0) + 1)
+
+        grid_type = params.get("model_grid_type", "equiangular")
+        if params.get("metrics_use_wb2_grid", False):
+            quad_rule = "weatherbench2"
+        else:
+            quad_rule = grid_to_quadrature_rule(grid_type)
+        self.quadrature = GridQuadrature(quad_rule, img_shape=self.img_shape, normalize=True)
+
+        self.climatology = climatology
+        self.metric_names = list(params.get("metric_names", ["rmse", "acc", "l1"]))
+        self.reset()
+
+    def reset(self):
+        C = len(self.channel_names)
+        S = self.num_rollout_steps
+        self._sums = {m: np.zeros((S, C), np.float64) for m in self.metric_names}
+        self._counts = np.zeros((S,), np.int64)
+
+    def compute_batch(self, prd, tar):
+        """Device-side per-batch metrics: prd/tar (B, C, H, W) or (B, E, C, H, W)
+        -> dict of (B, C) arrays. jit-friendly."""
+        out = {}
+        quad = self.quadrature
+        if prd.ndim == 5:
+            prdm = jnp.mean(prd, axis=1)
+        else:
+            prdm = prd
+        clim = None if self.climatology is None else jnp.asarray(self.climatology)
+        for m in self.metric_names:
+            if m == "rmse":
+                out[m] = weighted_rmse(prdm, tar, quad)
+            elif m == "l1":
+                out[m] = weighted_l1(prdm, tar, quad)
+            elif m == "acc":
+                out[m] = weighted_acc(prdm, tar, quad, clim=clim)
+            elif m == "crps" and prd.ndim == 5:
+                out[m] = ensemble_crps(prd, tar, quad)
+            elif m == "spread" and prd.ndim == 5:
+                out[m] = ensemble_spread(prd, quad)
+            elif m == "ssr" and prd.ndim == 5:
+                spread = ensemble_spread(prd, quad)
+                rmse = weighted_rmse(prdm, tar, quad)
+                out[m] = spread / (rmse + 1e-8)
+        return out
+
+    def update(self, prd, tar, step: int):
+        """Accumulate one validation batch at rollout step ``step``."""
+        vals = self.compute_batch(prd, tar)
+        for m, v in vals.items():
+            v = np.asarray(v)
+            self._sums[m][step] += v.sum(axis=0)
+        self._counts[step] += np.asarray(vals[next(iter(vals))]).shape[0]
+
+    def finalize(self) -> dict:
+        """Averaged rollout curves plus scalar summaries."""
+        logs = {}
+        counts = np.maximum(self._counts, 1)[:, None]
+        self.rollout_curves = {m: self._sums[m] / counts for m in self._sums}
+        for m, curve in self.rollout_curves.items():
+            logs[f"{m}"] = float(curve[0].mean())
+            for c, name in enumerate(self.channel_names):
+                logs[f"{m}/{name}"] = float(curve[0, c])
+            if curve.shape[0] > 1:
+                logs[f"{m}_rollout_last"] = float(curve[-1].mean())
+        return logs
+
+    def save(self, path: str):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            for m, curve in self.rollout_curves.items():
+                f.create_dataset(m, data=curve)
+            f.create_dataset("channel", data=np.array(self.channel_names, dtype="S"))

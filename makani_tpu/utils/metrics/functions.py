@@ -1,0 +1,88 @@
+"""Geometric metric kernels (ref makani/utils/metrics/functions.py:29-733).
+
+All metrics are quadrature-weighted over the sphere (normalized weights) and
+return per-(batch, channel) values of shape (B, C); the MetricsHandler does
+batch/rollout accumulation. Under pjit the spatial sums auto-reduce over the
+mesh's sharded dims.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "weighted_mean",
+    "weighted_rmse",
+    "weighted_acc",
+    "weighted_l1",
+    "ensemble_crps",
+    "ensemble_spread",
+]
+
+
+def weighted_mean(x, quad):
+    """Normalized quadrature mean over the sphere: (B, C, H, W) -> (B, C)."""
+    return quad(x)
+
+
+def weighted_rmse(prd, tar, quad):
+    return jnp.sqrt(quad(jnp.square(prd - tar)))
+
+
+def weighted_l1(prd, tar, quad):
+    return quad(jnp.abs(prd - tar))
+
+
+def weighted_acc(prd, tar, quad, clim=None, eps: float = 1e-8):
+    """Anomaly correlation coefficient vs climatology (ref functions.py)."""
+    if clim is not None:
+        pa = prd - clim
+        ta = tar - clim
+    else:
+        pa, ta = prd, tar
+    num = quad(pa * ta)
+    den = jnp.sqrt(quad(jnp.square(pa)) * quad(jnp.square(ta)))
+    return num / (den + eps)
+
+
+def _crps_kernel_sorted(ens_sorted, obs):
+    """CRPS via the probability-weighted-moment (PWM) form on a sorted
+    ensemble (ref crps_loss.py:55-120 computes the same integral by CDF
+    integration). ens_sorted: (..., E) ascending; obs: (...)."""
+    E = ens_sorted.shape[-1]
+    # E[|X - y|]
+    term1 = jnp.mean(jnp.abs(ens_sorted - obs[..., None]), axis=-1)
+    # E|X - X'| via the sorted-rank identity: 2/(E*(E-1)) * sum_i (2i - E + 1) x_(i)
+    ranks = jnp.arange(E, dtype=ens_sorted.dtype)
+    coeff = 2.0 * ranks - E + 1.0
+    if E > 1:
+        term2 = jnp.sum(coeff * ens_sorted, axis=-1) / (E * (E - 1.0))
+    else:
+        term2 = jnp.zeros_like(term1)
+    return term1 - term2
+
+
+def ensemble_crps(ens, obs, quad, fair: bool = True):
+    """CRPS of an ensemble forecast.
+
+    ens: (B, E, C, H, W); obs: (B, C, H, W). ``fair=True`` uses the unbiased
+    (fair) estimator with the 1/(E-1) spread term; ``fair=False`` uses 1/E.
+    Returns (B, C).
+    """
+    ens_sorted = jnp.sort(ens, axis=1)
+    ens_last = jnp.moveaxis(ens_sorted, 1, -1)  # (B, C, H, W, E)
+    crps = _crps_kernel_sorted(ens_last, obs)
+    if not fair:
+        E = ens.shape[1]
+        # convert the fair spread term to the biased 1/E^2 normalization
+        ranks = jnp.arange(E, dtype=ens.dtype)
+        coeff = 2.0 * ranks - E + 1.0
+        corr = jnp.sum(coeff * ens_last, axis=-1) * (1.0 / (E * E) - 1.0 / (E * (E - 1.0))) if E > 1 else 0.0
+        crps = crps + corr
+    return quad(crps)
+
+
+def ensemble_spread(ens, quad, eps: float = 1e-8):
+    """sqrt of mean ensemble variance: (B, E, C, H, W) -> (B, C)."""
+    var = jnp.var(ens, axis=1, ddof=1) if ens.shape[1] > 1 else jnp.zeros_like(ens[:, 0])
+    return jnp.sqrt(quad(var) + eps)

@@ -1,0 +1,217 @@
+"""Deterministic trainer (ref makani/utils/training/deterministic_trainer.py:
+60-789).
+
+One jit-compiled train step over the device mesh replaces the reference's
+DDP + autocast + GradScaler + comm-hook machinery: parameters live replicated
+(or TP-sharded) on the mesh, batches arrive sharded over
+(batch, ensemble) x (h, w), and pjit inserts every gradient reduction from
+the sharding specs. bf16 compute is a model dtype, not an autocast context;
+there is no GradScaler because bf16 needs none.
+
+Per epoch: train over the loader, validate with an autoregressive rollout of
+``valid_autoreg_steps`` (ref :636), track the best checkpoint, rotate saved
+checkpoints (orbax).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from makani_tpu.models.model_registry import get_model
+from makani_tpu.parallel import mesh as pmesh
+from makani_tpu.utils.dataloader import get_dataloader
+from makani_tpu.utils.dataloaders.data_helpers import get_climatology
+from makani_tpu.utils.loss import LossHandler
+from makani_tpu.utils.metric import MetricsHandler
+from makani_tpu.utils.training.optimizer import get_optimizer
+from makani_tpu.utils.checkpoint_helpers import CheckpointManager
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, params, world_rank: int = 0):
+        self.params = params
+        self.world_rank = world_rank
+
+        # mesh from the configured parallelism (ref train.py:64-70)
+        self.mesh = pmesh.init(
+            h=params.get("h_parallel_size", 1),
+            w=params.get("w_parallel_size", 1),
+            matmul=params.get("parameters_split_size", params.get("matmul_parallel_size", 1)),
+            ensemble=params.get("ensemble_parallel_size", 1),
+        )
+
+        # dataloaders
+        self.train_loader, self.train_dataset = get_dataloader(params, params.get("train_data_path", ""), mode="train")
+        self.valid_loader, self.valid_dataset = get_dataloader(params, params.get("valid_data_path", ""), mode="eval")
+
+        # model (+ multistep wrapper when n_future > 0; ref get_model multistep flag)
+        self.multistep = params.get("n_future", 0) > 0
+        self.model, self.preprocessor = get_model(params, multistep=True)
+        self.n_future = params.get("n_future", 0)
+
+        # loss and metrics
+        self.loss_obj = LossHandler(params)
+        clim = None
+        try:
+            clim = get_climatology(params)
+        except Exception:
+            clim = None
+        self.metrics = MetricsHandler(params, climatology=clim)
+
+        # initialize parameters
+        H, W = params.get("img_shape_x"), params.get("img_shape_y")
+        n_in_flat = (params.get("n_history", 0) + 1) * len(params.get("in_channels"))
+        zen_len = params.get("n_history", 0) + 1 + self.n_future
+        dummy_inp = jnp.zeros((1, n_in_flat, H, W), jnp.float32)
+        dummy_zen = jnp.zeros((1, zen_len, 1, H, W), jnp.float32) if params.get("add_zenith", False) else None
+
+        init_rng = jax.random.PRNGKey(params.get("seed", 333))
+        self.model_params = self.model.init(init_rng, dummy_inp, dummy_zen)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.model_params))
+        if world_rank == 0:
+            logger.info(f"model has {n_params} parameters")
+        self.n_model_params = n_params
+
+        # optimizer
+        steps_per_epoch = max(1, len(self.train_loader))
+        self.tx, self.schedule = get_optimizer(params, self.model_params, steps_per_epoch)
+        self.opt_state = self.tx.init(self.model_params)
+
+        # shardings
+        self.param_sharding = NamedSharding(self.mesh, P())
+        self.data_sharding = NamedSharding(self.mesh, P(("batch", "ensemble"), None, "h", "w"))
+        self.zen_sharding = NamedSharding(self.mesh, P(("batch", "ensemble"), None, None, "h", "w"))
+        self.model_params = jax.device_put(self.model_params, self.param_sharding)
+        self.opt_state = jax.device_put(self.opt_state, self.param_sharding)
+
+        # checkpointing
+        self.checkpoint = CheckpointManager(params)
+        self.epoch = 0
+        self.iters = 0
+        self.best_valid_loss = float("inf")
+
+        if params.get("resuming", False):
+            restored = self.checkpoint.restore_latest(self.model_params, self.opt_state)
+            if restored is not None:
+                self.model_params, self.opt_state, meta = restored
+                self.epoch = meta.get("epoch", 0)
+                self.iters = meta.get("iters", 0)
+                self.best_valid_loss = meta.get("best_valid_loss", float("inf"))
+
+        # jitted steps
+        loss_obj = self.loss_obj
+        model = self.model
+        tx = self.tx
+
+        import optax
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _train_step(model_params, opt_state, inp, tar, zen):
+            def loss_fn(p):
+                pred = model.apply(p, inp, zen, train=True)
+                return loss_obj(pred, tar, inp=inp, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(model_params)
+            updates, opt_state = tx.update(grads, opt_state, model_params)
+            model_params = optax.apply_updates(model_params, updates)
+            return loss, opt_state, model_params
+
+        self._train_step = _train_step
+
+        @jax.jit
+        def eval_step(model_params, inp, zen):
+            return model.apply(model_params, inp, zen, train=False)
+
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, batch):
+        inp = jax.device_put(batch["inp"], self.data_sharding)
+        tar = jax.device_put(batch["tar"], self.data_sharding)
+        zen = jax.device_put(batch["zen"], self.zen_sharding) if "zen" in batch else None
+        return inp, tar, zen
+
+    def train_one_epoch(self):
+        t0 = time.time()
+        n_samples = 0
+        losses = []
+        for batch in self.train_loader:
+            inp, tar, zen = self._put_batch(batch)
+            loss, self.opt_state, self.model_params = self._train_step(self.model_params, self.opt_state, inp, tar, zen)
+            losses.append(loss)
+            n_samples += batch["inp"].shape[0]
+            self.iters += 1
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        dt = time.time() - t0
+        return {
+            "train_loss": train_loss,
+            "train_samples_per_sec": n_samples / dt,
+            "train_time": dt,
+            "step_time_ms": 1000.0 * dt / max(1, len(losses)),
+        }
+
+    def validate_one_epoch(self):
+        """Autoregressive rollout validation (ref deterministic_trainer.py:636)."""
+        self.metrics.reset()
+        n_hist = self.params.get("n_history", 0)
+        n_out = len(self.params.get("out_channels"))
+        T = n_hist + 1
+        valid_losses = []
+        S = self.params.get("valid_autoreg_steps", 0) + 1
+
+        for batch in self.valid_loader:
+            inp, tar, zen = self._put_batch(batch)
+            inpt = inp
+            for step in range(S):
+                zwin = None if zen is None else zen[:, step : step + T]
+                pred = self._eval_step(self.model_params, inpt, zwin)
+                tstep = tar[:, step * n_out : (step + 1) * n_out]
+                self.metrics.update(pred, tstep, step)
+                if step == 0:
+                    valid_losses.append(self.loss_obj(pred, tstep, train=False))
+                if step < S - 1:
+                    inpt = self.preprocessor.append_history(inpt, pred, step)
+        logs = self.metrics.finalize()
+        logs["valid_loss"] = float(jnp.mean(jnp.stack(valid_losses))) if valid_losses else float("nan")
+        return logs
+
+    def train(self):
+        max_epochs = self.params.get("max_epochs", 1)
+        all_logs = []
+        while self.epoch < max_epochs:
+            self.epoch += 1
+            train_logs = self.train_one_epoch()
+            valid_logs = self.validate_one_epoch()
+            logs = {**train_logs, **valid_logs, "epoch": self.epoch}
+            all_logs.append(logs)
+            if self.world_rank == 0:
+                logger.info(
+                    f"epoch {self.epoch}: train_loss={logs['train_loss']:.5f} "
+                    f"valid_loss={logs['valid_loss']:.5f} "
+                    f"samples/s={logs['train_samples_per_sec']:.2f}"
+                )
+            is_best = logs["valid_loss"] < self.best_valid_loss
+            if is_best:
+                self.best_valid_loss = logs["valid_loss"]
+            if self.params.get("save_checkpoint", "none") != "none":
+                self.checkpoint.save(
+                    self.model_params,
+                    self.opt_state,
+                    meta={"epoch": self.epoch, "iters": self.iters, "best_valid_loss": self.best_valid_loss},
+                    is_best=is_best,
+                )
+        return all_logs

@@ -1,0 +1,89 @@
+"""Optimizer and LR-schedule factories (ref makani/utils/driver.py:702-810,
+training_helpers.py:33-101).
+
+optax equivalents: Adam/AdamW/SGD with weight-decay parameter groups (the
+"transformer" convention excludes biases, norm parameters and position
+embeddings from decay), linear warmup composed in front of the main schedule,
+cosine annealing / step / plateau schedules, and model-group-aware global
+gradient-norm clipping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["get_optimizer", "get_schedule"]
+
+
+def _no_decay_mask(params):
+    """True where weight decay applies: matrices/kernels, not biases/norm
+    scales/pos embeddings (ref training_helpers.py:33-74)."""
+
+    def decay_ok(path, leaf):
+        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path).lower()
+        if "bias" in name or "pos_embed" in name or "norm" in name or "gamma" in name:
+            return False
+        return leaf.ndim > 1
+
+    return jax.tree_util.tree_map_with_path(decay_ok, params)
+
+
+def get_schedule(params, steps_per_epoch: int = 1):
+    lr = params.get("lr", 1e-3)
+    sched_type = params.get("scheduler", "none")
+    warmup_steps = params.get("lr_warmup_steps", 0)
+
+    if sched_type == "CosineAnnealingLR":
+        t_max = params.get("scheduler_T_max", 100) * steps_per_epoch
+        main = optax.cosine_decay_schedule(lr, decay_steps=max(t_max, 1), alpha=params.get("scheduler_min_lr", 0.0) / lr if lr else 0.0)
+    elif sched_type == "StepLR":
+        step_size = params.get("scheduler_step_size", 20) * steps_per_epoch
+        main = optax.exponential_decay(lr, transition_steps=step_size, decay_rate=params.get("scheduler_gamma", 0.5), staircase=True)
+    elif sched_type in ("ReduceLROnPlateau", "none", None):
+        # plateau scheduling is epoch-driven and host-side; the base schedule
+        # stays constant and the trainer composes reduce_on_plateau on top
+        main = optax.constant_schedule(lr)
+    else:
+        raise ValueError(f"scheduler {sched_type} not supported")
+
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, lr, warmup_steps)
+        return optax.join_schedules([warmup, main], [warmup_steps])
+    return main
+
+
+def get_optimizer(params, model_params, steps_per_epoch: int = 1):
+    schedule = get_schedule(params, steps_per_epoch)
+    opt_type = params.get("optimizer_type", "Adam")
+    beta1 = params.get("optimizer_beta1", 0.9)
+    beta2 = params.get("optimizer_beta2", 0.999)
+    eps = params.get("optimizer_eps", 1e-8)
+    wd = params.get("weight_decay", 0.0)
+
+    if opt_type in ("Adam", "FusedAdam"):
+        if wd > 0:
+            base = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_no_decay_mask(model_params))
+        else:
+            base = optax.adam(schedule, b1=beta1, b2=beta2, eps=eps)
+    elif opt_type == "AdamW":
+        base = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_no_decay_mask(model_params))
+    elif opt_type == "SGD":
+        base = optax.sgd(schedule, momentum=params.get("optimizer_momentum", 0.0), nesterov=params.get("optimizer_nesterov", False))
+    else:
+        raise ValueError(f"optimizer {opt_type} not supported")
+
+    chain = []
+    max_norm = params.get("optimizer_max_grad_norm", params.get("max_grad_norm", None))
+    if max_norm:
+        chain.append(optax.clip_by_global_norm(max_norm))
+    chain.append(base)
+    tx = optax.chain(*chain)
+
+    accum = params.get("grad_accumulation_steps", 1)
+    if accum and accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, schedule

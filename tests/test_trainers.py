@@ -1,0 +1,132 @@
+"""End-to-end trainer tests on synthetic data (ref makani tests/test_trainers.py).
+
+Runs full train + validate epochs on the virtual CPU mesh, checks the loss
+improves, checkpoint/resume round-trips, and the multistep/push-forward and
+history paths execute.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from makani_tpu.parallel import mesh as pmesh
+from makani_tpu.utils.yparams import ParamsBase
+
+
+@pytest.fixture(autouse=True)
+def reset_mesh():
+    yield
+    pmesh.cleanup()
+
+
+def make_params(tmp_path, **overrides):
+    base = dict(
+        nettype="SFNO",
+        enable_synthetic_data=True,
+        img_shape_x=24,
+        img_shape_y=48,
+        scale_factor=2,
+        embed_dim=16,
+        num_layers=2,
+        channel_names=["u10m", "v10m", "t2m", "z500", "q700"],
+        in_channels=[0, 1, 2, 3, 4],
+        out_channels=[0, 1, 2, 3, 4],
+        n_history=0,
+        n_future=0,
+        dt=1,
+        dhours=6,
+        add_zenith=True,
+        batch_size=8,
+        n_train_samples_per_epoch=16,
+        n_eval_samples=8,
+        valid_autoreg_steps=1,
+        losses=[{"type": "l2", "channel_weights": "auto", "parameters": {"squared": True}}],
+        lr=2e-3,
+        max_epochs=1,
+        scheduler="CosineAnnealingLR",
+        scheduler_T_max=2,
+        optimizer_type="Adam",
+        weight_decay=0.0,
+        normalization_layer="instance_norm_s2",
+        save_checkpoint="flexible",
+        exp_dir=str(tmp_path),
+        multistep={"push_forward": False, "weight_type": "constant"},
+    )
+    base.update(overrides)
+    return ParamsBase(base)
+
+
+def test_single_step_training(tmp_path):
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+    params = make_params(tmp_path)
+    t = Trainer(params)
+    logs = t.train()
+    assert len(logs) == 1
+    assert np.isfinite(logs[0]["train_loss"])
+    assert np.isfinite(logs[0]["valid_loss"])
+    assert "rmse" in logs[0] and "acc" in logs[0]
+
+
+def test_multistep_push_forward_training(tmp_path):
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+    params = make_params(
+        tmp_path,
+        n_future=1,
+        multistep={"push_forward": True, "weight_type": "balanced"},
+        save_checkpoint="none",
+    )
+    t = Trainer(params)
+    logs = t.train()
+    assert np.isfinite(logs[0]["train_loss"])
+
+
+def test_history_training(tmp_path):
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+    params = make_params(tmp_path, n_history=1, save_checkpoint="none")
+    t = Trainer(params)
+    logs = t.train()
+    assert np.isfinite(logs[0]["train_loss"])
+
+
+def test_checkpoint_resume(tmp_path):
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+    params = make_params(tmp_path, max_epochs=1)
+    t = Trainer(params)
+    t.train()
+
+    params["resuming"] = True
+    params["max_epochs"] = 2
+    t2 = Trainer(params)
+    assert t2.epoch == 1
+    p_before = t.model_params
+    p_after = t2.model_params
+    for a, b in zip(
+        __import__("jax").tree.leaves(p_before), __import__("jax").tree.leaves(p_after)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    logs = t2.train()
+    assert logs[-1]["epoch"] == 2
+
+
+def test_loss_decreases_over_epochs(tmp_path):
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+    # fixed dataset (same seed per epoch index means fresh samples; check the
+    # model at least learns the scale of the targets)
+    params = make_params(tmp_path, max_epochs=3, save_checkpoint="none", n_train_samples_per_epoch=32)
+    t = Trainer(params)
+    logs = t.train()
+    assert logs[-1]["train_loss"] < logs[0]["train_loss"]
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+    pmesh.cleanup()
+    ge.dryrun_multichip(4)
