@@ -94,13 +94,16 @@ def main():
 
     for _ in range(warmup):
         loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
-    jax.block_until_ready(loss)
+    # force a host readback: on the remote-TPU relay, block_until_ready
+    # returns before execution completes, so only a value fetch synchronizes
+    float(loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     dt = (time.perf_counter() - t0) / steps
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}" 
 
     sps = batch / dt
     baseline = float(os.environ.get("BENCH_BASELINE_SPS", 1.0))

@@ -71,6 +71,26 @@ class ComplexActivation(nn.Module):
         return z
 
 
+def complex_relu_s(z2: jnp.ndarray, mode: str = "real", negative_slope: float = 0.0, bias=0.0) -> jnp.ndarray:
+    """Split-complex rectifier: z2 has a trailing [re, im] axis (no complex
+    dtype; see contractions.py)."""
+    act = lambda v: jnp.where(v >= 0, v, negative_slope * v)
+    zr, zi = z2[..., 0], z2[..., 1]
+    if mode == "real":
+        return jnp.stack([act(zr), zi], axis=-1)
+    if mode == "cartesian":
+        return jnp.stack([act(zr), act(zi)], axis=-1)
+    if mode == "modulus":
+        zabs = jnp.sqrt(jnp.square(zr) + jnp.square(zi))
+        gated = jnp.where(zabs + bias > 0, (zabs + bias) / jnp.maximum(zabs, 1e-30), 0.0)
+        return z2 * gated[..., None]
+    if mode == "halfplane":
+        angle = jnp.arctan2(zi, zr) - bias
+        keep = jnp.logical_and(0.0 <= angle, angle < jnp.pi / 2.0)
+        return jnp.where(keep[..., None], z2, negative_slope * z2)
+    raise NotImplementedError(f"Unknown complex ReLU mode {mode}")
+
+
 def magnitude_preserving_silu(x: jnp.ndarray, normalization_factor: float = 0.596) -> jnp.ndarray:
     """SiLU rescaled to preserve unit variance for N(0,1) input."""
     return jax.nn.silu(x) / normalization_factor

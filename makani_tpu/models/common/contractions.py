@@ -1,12 +1,11 @@
-"""Spectral-space contraction kernels.
+"""Spectral-space contraction kernels (split-complex).
 
 Complex einsums used by the spectral convolution and attention layers,
 matching the semantics of the reference's contraction zoo
-(``makani/models/common/contractions.py:19-151``). Complex multiplies are
-expressed over an explicit trailing real/imag pair so XLA lowers them to four
-real MXU matmuls instead of routing through a complex dtype (complex einsums
-block some fusions on TPU); the spectral layers keep weights and activations
-in this split layout around the transforms.
+(``makani/models/common/contractions.py:19-151``). All complex values are
+carried as real arrays with a trailing [re, im] axis — no complex dtype ever
+reaches the device (the axon TPU backend implements no complex ops), and the
+four real einsums of each complex multiply map straight onto the MXU.
 """
 
 from __future__ import annotations
@@ -15,68 +14,60 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "contract_dense",
-    "compl_mul2d",
-    "compl_muladd2d",
-    "compl_exp_mul2d",
-    "compl_exp_muladd2d",
+    "cmul_einsum_s",
+    "contract_dense_s",
+    "compl_mul2d_s",
+    "compl_muladd2d_s",
+    "compl_exp_mul2d_s",
+    "compl_exp_muladd2d_s",
 ]
 
 
-def _split(z):
-    return z.real, z.imag
+def cmul_einsum_s(eq: str, a2: jnp.ndarray, b2: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """Complex einsum on split arrays: (ar + i ai)(br + i bi) via 4 real einsums.
 
-
-def _cmul_einsum(eq: str, a: jnp.ndarray, b: jnp.ndarray, precision=None) -> jnp.ndarray:
-    """Complex einsum via four real einsums: (ar+i ai)(br+i bi)."""
-    ar, ai = _split(a)
-    br, bi = _split(b)
+    ``eq`` is the einsum over the logical (pair-less) axes.
+    """
+    ar, ai = a2[..., 0], a2[..., 1]
+    br, bi = b2[..., 0], b2[..., 1]
     rr = jnp.einsum(eq, ar, br, precision=precision)
+    ii = jnp.einsum(eq, ai, bi, precision=precision)
     ri = jnp.einsum(eq, ar, bi, precision=precision)
     ir = jnp.einsum(eq, ai, br, precision=precision)
-    ii = jnp.einsum(eq, ai, bi, precision=precision)
-    return jax.lax.complex(rr - ii, ri + ir)
+    return jnp.stack([rr - ii, ri + ir], axis=-1)
 
 
-def contract_dense(x: jnp.ndarray, weight: jnp.ndarray, separable: bool = False, operator_type: str = "diagonal") -> jnp.ndarray:
-    """Grouped spectral contraction.
+def contract_dense_s(x2: jnp.ndarray, w2: jnp.ndarray, separable: bool = False, operator_type: str = "diagonal") -> jnp.ndarray:
+    """Grouped spectral contraction on split arrays.
 
-    x: (B, G, C_in/G, L, M) complex; weight layouts per operator type:
-      * diagonal, dense:    (G, C_in/G, C_out/G, L, M) -> 'bgixy,gioxy->bgoxy'
-      * dhconv, dense:      (G, C_in/G, C_out/G, L)    -> 'bgixy,giox->bgoxy'
-      * diagonal, separable:(G, C_in/G, L, M)          -> 'bgixy,gixy->bgixy'
-      * dhconv, separable:  (G, C_in/G, L)             -> 'bgixy,gix->bgixy'
+    x2: (B, G, C_in/G, L, M, 2); weight layouts (trailing pair axis):
+      * diagonal, dense:    (G, C_in/G, C_out/G, L, M, 2) -> 'bgixy,gioxy->bgoxy'
+      * dhconv, dense:      (G, C_in/G, C_out/G, L, 2)    -> 'bgixy,giox->bgoxy'
+      * diagonal, separable:(G, C_in/G, L, M, 2)          -> 'bgixy,gixy->bgixy'
+      * dhconv, separable:  (G, C_in/G, L, 2)             -> 'bgixy,gix->bgixy'
     """
     if separable:
-        if operator_type == "diagonal":
-            eq = "bgixy,gixy->bgixy"
-        elif operator_type == "dhconv":
-            eq = "bgixy,gix->bgixy"
-        else:
-            raise ValueError(f"Unknown operator type {operator_type}")
+        eq = "bgixy,gixy->bgixy" if operator_type == "diagonal" else "bgixy,gix->bgixy"
     else:
-        if operator_type == "diagonal":
-            eq = "bgixy,gioxy->bgoxy"
-        elif operator_type == "dhconv":
-            eq = "bgixy,giox->bgoxy"
-        else:
-            raise ValueError(f"Unknown operator type {operator_type}")
-    return _cmul_einsum(eq, x, weight)
+        eq = "bgixy,gioxy->bgoxy" if operator_type == "diagonal" else "bgixy,giox->bgoxy"
+    if operator_type not in ("diagonal", "dhconv"):
+        raise ValueError(f"Unknown operator type {operator_type}")
+    return cmul_einsum_s(eq, x2, w2)
 
 
-def compl_mul2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Channel mixing shared across modes: (B,C_in,L,M) x (C_in,C_out)."""
-    return _cmul_einsum("bixy,io->boxy", x, w)
+def compl_mul2d_s(x2: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
+    """Channel mixing shared across modes: (B,C_in,L,M,2) x (C_in,C_out,2)."""
+    return cmul_einsum_s("bixy,io->boxy", x2, w2)
 
 
-def compl_muladd2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return compl_mul2d(x, w) + b
+def compl_muladd2d_s(x2: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    return compl_mul2d_s(x2, w2) + b2
 
 
-def compl_exp_mul2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Per-degree channel mixing: (B,C_in,L,M) x (L,C_in,C_out)."""
-    return _cmul_einsum("bixy,xio->boxy", x, w)
+def compl_exp_mul2d_s(x2: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
+    """Per-degree channel mixing: (B,C_in,L,M,2) x (L,C_in,C_out,2)."""
+    return cmul_einsum_s("bixy,xio->boxy", x2, w2)
 
 
-def compl_exp_muladd2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return compl_exp_mul2d(x, w) + b
+def compl_exp_muladd2d_s(x2: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray) -> jnp.ndarray:
+    return compl_exp_mul2d_s(x2, w2) + b2

@@ -31,20 +31,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from makani_tpu.models.common.activations import complex_relu
+from makani_tpu.models.common.activations import complex_relu_s
 from makani_tpu.models.common.contractions import (
-    compl_exp_mul2d,
-    compl_exp_muladd2d,
-    compl_mul2d,
-    compl_muladd2d,
-    contract_dense,
+    compl_exp_mul2d_s,
+    compl_exp_muladd2d_s,
+    compl_mul2d_s,
+    compl_muladd2d_s,
+    contract_dense_s,
 )
 
 __all__ = ["SpectralConv", "SpectralAttention"]
-
-
-def _as_complex(w: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.complex(w[..., 0], w[..., 1])
 
 
 def _complex_normal_init(scale_per_l, shape, l_axis: int):
@@ -117,20 +113,21 @@ class SpectralConv(nn.Module):
         dtype = x.dtype
         residual = x
 
-        # --- forward transform in fp32
-        xc = self.forward_transform(x.astype(jnp.float32))
+        # --- forward transform in fp32, split-complex throughout (no complex
+        # dtype on device; the axon TPU backend has none)
+        xc2 = self.forward_transform.analysis(x.astype(jnp.float32))
         if scale_residual:
-            residual = self.inverse_transform(xc).astype(dtype)
+            residual = self.inverse_transform.synthesis(xc2).astype(dtype)
 
-        # --- contraction
-        B = xc.shape[0]
-        H, W = xc.shape[-2], xc.shape[-1]
-        xg = xc.reshape(B, g, self.in_channels // g, H, W)
-        yg = contract_dense(xg, _as_complex(weight), separable=self.separable, operator_type=self.operator_type)
-        y = yg.reshape(B, self.out_channels, H, W)
+        # --- contraction on the split representation
+        B = xc2.shape[0]
+        H, W = xc2.shape[-3], xc2.shape[-2]
+        xg2 = xc2.reshape(B, g, self.in_channels // g, H, W, 2)
+        yg2 = contract_dense_s(xg2, weight, separable=self.separable, operator_type=self.operator_type)
+        y2 = yg2.reshape(B, self.out_channels, H, W, 2)
 
         # --- inverse transform in fp32
-        y = self.inverse_transform(y).astype(dtype)
+        y = self.inverse_transform.synthesis(y2).astype(dtype)
 
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1), jnp.float32)
@@ -167,11 +164,11 @@ class SpectralAttention(nn.Module):
         )
 
         if self.operator_type == "diagonal":
-            mul, muladd = compl_mul2d, compl_muladd2d
+            mul, muladd = compl_mul2d_s, compl_muladd2d_s
             wshapes = [(self.in_channels, hidden)] + [(hidden, hidden)] * (self.spectral_layers - 1)
             wout_shape = (hidden, self.out_channels)
         elif self.operator_type == "l-dependant":
-            mul, muladd = compl_exp_mul2d, compl_exp_muladd2d
+            mul, muladd = compl_exp_mul2d_s, compl_exp_muladd2d_s
             wshapes = [(modes_lat, self.in_channels, hidden)] + [(modes_lat, hidden, hidden)] * (self.spectral_layers - 1)
             wout_shape = (modes_lat, hidden, self.out_channels)
         else:
@@ -194,18 +191,18 @@ class SpectralAttention(nn.Module):
 
         dtype = x.dtype
         residual = x
-        xc = self.forward_transform(x.astype(jnp.float32))
+        xc2 = self.forward_transform.analysis(x.astype(jnp.float32))
         if scale_residual:
-            residual = self.inverse_transform(xc).astype(dtype)
+            residual = self.inverse_transform.synthesis(xc2).astype(dtype)
 
-        z = xc
+        z2 = xc2
         for i in range(self.spectral_layers):
             if self.use_bias:
-                z = muladd(z, _as_complex(ws[i]), _as_complex(bs[i]))
+                z2 = muladd(z2, ws[i], bs[i])
             else:
-                z = mul(z, _as_complex(ws[i]))
-            z = complex_relu(z, mode=self.complex_activation)
-        z = mul(z, _as_complex(wout))
+                z2 = mul(z2, ws[i])
+            z2 = complex_relu_s(z2, mode=self.complex_activation)
+        z2 = mul(z2, wout)
 
-        y = self.inverse_transform(z).astype(dtype)
+        y = self.inverse_transform.synthesis(z2).astype(dtype)
         return y, residual

@@ -397,7 +397,7 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
         # big skip at the output resolution
         if self.big_skip:
             if self.out_shape != self.inp_shape:
-                residual = self.itrans_up(self.trans_down(x.astype(jnp.float32))).astype(x.dtype)
+                residual = self.itrans_up.synthesis(self.trans_down.analysis(x.astype(jnp.float32))).astype(x.dtype)
             else:
                 residual = x
 
@@ -426,8 +426,11 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             ls = jnp.arange(lmax)[:, None]
             ms = jnp.arange(mmax)[None, :]
             tril = (ms <= ls).astype(jnp.float32)
-            coeff = jax.lax.complex(rc * tril, jnp.pad(cc, ((0, 0), (0, 0), (0, 0), (1, 0))) * (jnp.where(ms >= 1, 1.0, 0.0) * tril))
-            pe = self.itrans_up(coeff)
+            coeff2 = jnp.stack(
+                [rc * tril, jnp.pad(cc, ((0, 0), (0, 0), (0, 0), (1, 0))) * (jnp.where(ms >= 1, 1.0, 0.0) * tril)],
+                axis=-1,
+            )
+            pe = self.itrans_up.synthesis(coeff2)
             pe = _crop_lat(pe, x.shape[-2])
             x = x + pe.astype(x.dtype)
         elif self.pos_embed not in ("none", "None", None):

@@ -45,7 +45,12 @@ class InverseRealFFT1:
 
 
 class RealFFT2:
-    """Forward 2D real FFT over the last two axes with two-sided lat truncation."""
+    """Forward 2D real FFT over the last two axes with two-sided lat truncation.
+
+    ``analysis``/``synthesis`` are the split-complex forms (trailing [re, im]
+    axis) used on devices without complex support; ``__call__`` keeps the
+    complex API for tests and host-side code.
+    """
 
     def __init__(self, nlat: int, nlon: int, lmax: int | None = None, mmax: int | None = None):
         self.nlat = nlat
@@ -57,14 +62,17 @@ class RealFFT2:
         self.lmax_high = math.ceil(self.lmax / 2)
         self.lmax_low = math.floor(self.lmax / 2)
 
-    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
-        y = fft_compat.rfft2(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+    def analysis(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        y = fft_compat.rfft2_s(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
         if self.truncate:
             y = jnp.concatenate(
-                (y[..., : self.lmax_high, : self.mmax], y[..., y.shape[-2] - self.lmax_low :, : self.mmax]),
-                axis=-2,
+                (y[..., : self.lmax_high, : self.mmax, :], y[..., y.shape[-3] - self.lmax_low :, : self.mmax, :]),
+                axis=-3,
             )
         return y
+
+    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        return fft_compat.to_complex(self.analysis(x, norm=norm))
 
 
 class InverseRealFFT2:
@@ -80,16 +88,17 @@ class InverseRealFFT2:
         self.lmax_high = math.ceil(self.lmax / 2)
         self.lmax_low = math.floor(self.lmax / 2)
 
-    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
-        xt = x[..., : self.mmax]
+    def synthesis(self, x2: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        xt = x2[..., : self.mmax, :]
         if self.truncate:
-            xth = xt[..., : self.lmax_high, :]
-            xtl = xt[..., xt.shape[-2] - self.lmax_low :, :]
-            pad = [(0, 0)] * (xt.ndim - 2) + [(0, self.nlat - self.lmax), (0, 0)]
-            xthp = jnp.pad(xth, pad)
-            xt = jnp.concatenate([xthp, xtl], axis=-2)
-        # pad the one-sided lon axis back out implicitly via irfft2's s argument
-        return fft_compat.irfft2(xt, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+            xth = xt[..., : self.lmax_high, :, :]
+            xtl = xt[..., xt.shape[-3] - self.lmax_low :, :, :]
+            pad = [(0, 0)] * (xt.ndim - 3) + [(0, self.nlat - self.lmax), (0, 0), (0, 0)]
+            xt = jnp.concatenate([jnp.pad(xth, pad), xtl], axis=-3)
+        return fft_compat.irfft2_s(xt, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+
+    def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        return self.synthesis(fft_compat.from_complex(x), norm=norm)
 
 
 def _two_sided_slices(n: int, lmax: int):

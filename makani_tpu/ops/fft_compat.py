@@ -36,7 +36,117 @@ _PRECISION = jax.lax.Precision.HIGHEST
 
 
 def use_matmul_fft() -> bool:
-    return FORCE_MATMUL or jax.default_backend() == "cpu"
+    # cpu: XLA thunk-runtime layout bug; axon (remote TPU): no FFT/complex
+    # support at all — both use the matmul DFT.
+    return FORCE_MATMUL or jax.default_backend() in ("cpu", "axon")
+
+
+# ---------------------------------------------------------------------------
+# split-complex variants: logical complex arrays are carried as real arrays
+# with a trailing [re, im] axis, so no complex dtype ever reaches the device
+# (the axon TPU backend implements no complex ops). The pair axis is LAST and
+# the transformed logical axis is specified as if the pair axis didn't exist.
+# ---------------------------------------------------------------------------
+
+
+def _split_axis(x2, axis):
+    """normalize a logical axis to the split array (which has +1 trailing dim)."""
+    return axis if axis >= 0 else x2.ndim - 1 + axis
+
+
+def rfft_s(x, n=None, axis=-1, norm=None):
+    """real (..., n) -> split (..., n//2+1, 2) along ``axis``."""
+    n = n or x.shape[axis]
+    if not use_matmul_fft():
+        out = from_complex(jnp.fft.rfft(x, n=n, axis=axis, norm=norm))
+        return out if axis in (-1, x.ndim - 1) else jnp.moveaxis(out, -2, axis)
+    xm = _move_last(x, axis)
+    if xm.shape[-1] != n:
+        if xm.shape[-1] > n:
+            xm = xm[..., :n]
+        else:
+            xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - xm.shape[-1])])
+    c, s = _rdft_mats(n)
+    f = _norm_factor(n, norm, inverse=False)
+    re = jnp.einsum("...k,km->...m", xm, c, precision=_PRECISION) * f
+    im = jnp.einsum("...k,km->...m", xm, s, precision=_PRECISION) * f
+    out = jnp.stack([re, im], axis=-1)
+    if axis not in (-1, x.ndim - 1):
+        out = jnp.moveaxis(out, -2, axis)
+    return out
+
+
+def irfft_s(x2, n=None, axis=-1, norm=None):
+    """split (..., m, 2) -> real (..., n) along ``axis``."""
+    ax = _split_axis(x2, axis)
+    xm = jnp.moveaxis(x2, ax, -2) if ax != x2.ndim - 2 else x2
+    m = xm.shape[-2]
+    n = n or 2 * (m - 1)
+    if not use_matmul_fft():
+        out = jnp.fft.irfft(to_complex(xm), n=n, axis=-1, norm=norm)
+        return out if axis in (-1, out.ndim - 1) else jnp.moveaxis(out, -1, axis)
+    n_half = n // 2 + 1
+    if m != n_half:
+        if m > n_half:
+            xm = xm[..., :n_half, :]
+        else:
+            xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 2) + [(0, n_half - m), (0, 0)])
+    c, s = _irdft_mats(n)
+    f = _norm_factor(n, norm, inverse=True)
+    out = (
+        jnp.einsum("...m,mk->...k", xm[..., 0], c, precision=_PRECISION)
+        + jnp.einsum("...m,mk->...k", xm[..., 1], s, precision=_PRECISION)
+    ) * f
+    if axis not in (-1, out.ndim - 1):
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def fft_s(x2, n=None, axis=-1, norm=None, sign: int = -1):
+    """split (..., n, 2) -> split (..., n, 2) complex DFT along logical ``axis``."""
+    ax = _split_axis(x2, axis)
+    xm = jnp.moveaxis(x2, ax, -2) if ax != x2.ndim - 2 else x2
+    n = n or xm.shape[-2]
+    if not use_matmul_fft():
+        hfn = jnp.fft.fft if sign == -1 else jnp.fft.ifft
+        out = from_complex(hfn(to_complex(xm), n=n, axis=-1, norm=norm))
+        return out if ax == x2.ndim - 2 else jnp.moveaxis(out, -2, ax)
+    c, s = _dft_mats(n, sign=sign)
+    f = _norm_factor(n, norm, inverse=(sign == +1))
+    xr, xi = xm[..., 0], xm[..., 1]
+    re = (jnp.einsum("...k,kn->...n", xr, c, precision=_PRECISION) - jnp.einsum("...k,kn->...n", xi, s, precision=_PRECISION)) * f
+    im = (jnp.einsum("...k,kn->...n", xr, s, precision=_PRECISION) + jnp.einsum("...k,kn->...n", xi, c, precision=_PRECISION)) * f
+    out = jnp.stack([re, im], axis=-1)
+    if ax != x2.ndim - 2:
+        out = jnp.moveaxis(out, -2, ax)
+    return out
+
+
+def ifft_s(x2, n=None, axis=-1, norm=None):
+    return fft_s(x2, n=n, axis=axis, norm=norm, sign=+1)
+
+
+def rfft2_s(x, s=None, axes=(-2, -1), norm=None):
+    """real (..., H, W) -> split (..., lH, mW, 2)."""
+    n0 = s[0] if s else x.shape[axes[0]]
+    n1 = s[1] if s else x.shape[axes[1]]
+    y = rfft_s(x, n=n1, axis=axes[1], norm=norm)
+    return fft_s(y, n=n0, axis=axes[0], norm=norm)
+
+
+def irfft2_s(x2, s=None, axes=(-2, -1), norm=None):
+    n0 = s[0] if s else None
+    n1 = s[1] if s else None
+    y = ifft_s(x2, n=n0, axis=axes[0], norm=norm)
+    return irfft_s(y, n=n1, axis=axes[1], norm=norm)
+
+
+def to_complex(x2):
+    return jax.lax.complex(x2[..., 0], x2[..., 1])
+
+
+def from_complex(c):
+    return jnp.stack([c.real, c.imag], axis=-1)
 
 
 def _norm_factor(n: int, norm: str | None, inverse: bool) -> float:

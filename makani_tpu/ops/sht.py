@@ -40,18 +40,14 @@ __all__ = ["RealSHT", "InverseRealSHT"]
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _analysis_contract(xf: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
-    """(..., nlat, mmax) complex x (mmax, lmax, nlat) real -> (..., lmax, mmax) complex."""
-    re = jnp.einsum("...km,mlk->...lm", xf.real, weights, precision=_PRECISION)
-    im = jnp.einsum("...km,mlk->...lm", xf.imag, weights, precision=_PRECISION)
-    return jax.lax.complex(re, im)
+def _analysis_contract_s(xf2: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """split (..., nlat, mmax, 2) x (mmax, lmax, nlat) -> split (..., lmax, mmax, 2)."""
+    return jnp.einsum("...kmr,mlk->...lmr", xf2, weights, precision=_PRECISION)
 
 
-def _synthesis_contract(coeff: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
-    """(..., lmax, mmax) complex x (mmax, lmax, nlat) real -> (..., nlat, mmax) complex."""
-    re = jnp.einsum("...lm,mlk->...km", coeff.real, pct, precision=_PRECISION)
-    im = jnp.einsum("...lm,mlk->...km", coeff.imag, pct, precision=_PRECISION)
-    return jax.lax.complex(re, im)
+def _synthesis_contract_s(c2: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
+    """split (..., lmax, mmax, 2) x (mmax, lmax, nlat) -> split (..., nlat, mmax, 2)."""
+    return jnp.einsum("...lmr,mlk->...kmr", c2, pct, precision=_PRECISION)
 
 
 class RealSHT:
@@ -79,11 +75,18 @@ class RealSHT:
         # numpy constants fold into the executable at call sites instead.
         self._weights = weights.astype(np.float32)
 
+    def analysis(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Split-complex analysis: real (..., nlat, nlon) -> (..., lmax, mmax, 2).
+
+        No complex dtype touches the device (the axon TPU backend has no
+        complex support); downstream layers consume the trailing re/im pair.
+        """
+        xf2 = fft_compat.rfft_s(x, n=self.nlon, axis=-1, norm="forward")
+        xf2 = xf2[..., : self.mmax, :]
+        return _analysis_contract_s(xf2, self._weights)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        xf = fft_compat.rfft(x, n=self.nlon, axis=-1, norm="forward")
-        xf = xf[..., : self.mmax]
-        # move lon-modes next to lat for the contraction: (..., nlat, mmax)
-        return _analysis_contract(xf, self._weights)
+        return fft_compat.to_complex(self.analysis(x))
 
 
 class InverseRealSHT:
@@ -105,6 +108,10 @@ class InverseRealSHT:
         pct = precompute_legpoly(self.mmax, self.lmax, theta, norm=norm, inverse=True, csphase=csphase)
         self._pct = pct.astype(np.float32)
 
+    def synthesis(self, c2: jnp.ndarray) -> jnp.ndarray:
+        """Split-complex synthesis: (..., lmax, mmax, 2) -> real (..., nlat, nlon)."""
+        xf2 = _synthesis_contract_s(c2, self._pct)
+        return fft_compat.irfft_s(xf2, n=self.nlon, axis=-1, norm="forward")
+
     def __call__(self, coeff: jnp.ndarray) -> jnp.ndarray:
-        xf = _synthesis_contract(coeff, self._pct)
-        return fft_compat.irfft(xf, n=self.nlon, axis=-1, norm="forward")
+        return self.synthesis(fft_compat.from_complex(coeff))

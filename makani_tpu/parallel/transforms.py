@@ -128,28 +128,32 @@ class DistributedRealSHT(_DistBase):
             # x local: (B, C, K_loc, W_loc); table local: (M_loc, L_pad, K_loc)
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xf = fft_compat.rfft(x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward")
+            xr = fft_compat.rfft_s(x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward")
             if self.mmax_pad <= n_half:
-                xf = xf[..., : self.mmax_pad]
+                xr = xr[..., : self.mmax_pad, :]
             else:
-                xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, self.mmax_pad - n_half)])
-            xr = jnp.stack([xf.real, xf.imag], axis=-1)  # (B, C', K_loc, M_pad, 2)
+                xr = jnp.pad(xr, [(0, 0)] * (xr.ndim - 2) + [(0, self.mmax_pad - n_half), (0, 0)])
+            # xr: (B, C', K_loc, M_pad, 2)
             if w > 1:
                 xr = lax.all_to_all(xr, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             # partial Legendre GEMM over the local latitude rows
             part = jnp.einsum("bckmr,mlk->bclmr", xr, table, precision=_PRECISION)
             if h > 1:
                 part = lax.psum_scatter(part, self.h_axis, scatter_dimension=2, tiled=True)
-            return lax.complex(part[..., 0], part[..., 1])
+            return part
 
         self._fn = self._shard(
             analysis,
             in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis), self._spec(self.w_axis, None, self.h_axis)),
-            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis, None),
         )
 
-    def __call__(self, x):
+    def analysis(self, x):
+        """Split-complex analysis: real field -> (..., L_pad, M_pad, 2)."""
         return self._fn(x, self._table)
+
+    def __call__(self, x):
+        return fft_compat.to_complex(self._fn(x, self._table))
 
 
 class DistributedInverseRealSHT(_DistBase):
@@ -174,32 +178,34 @@ class DistributedInverseRealSHT(_DistBase):
         n_half = self.nlon // 2 + 1
         h, w = self.h_size, self.w_size
 
-        def synthesis(c, table):
-            # c local: (B, C, L_loc, M_loc); table local: (M_loc, L_pad, K_loc)
-            cr = jnp.stack([c.real, c.imag], axis=-1)
+        def synthesis(cr, table):
+            # cr local: (B, C, L_loc, M_loc, 2); table local: (M_loc, L_pad, K_loc)
             if h > 1:
                 cr = lax.all_gather(cr, self.h_axis, axis=2, tiled=True)  # (B, C, L_pad, M_loc, 2)
             xk = jnp.einsum("bclmr,mlk->bckmr", cr, table, precision=_PRECISION)
             if w > 1:
                 xk = lax.all_to_all(xk, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xc = lax.complex(xk[..., 0], xk[..., 1])  # (B, C', K_loc, M_pad)
             if self.mmax_pad <= n_half:
-                xc = jnp.pad(xc, [(0, 0)] * (xc.ndim - 1) + [(0, n_half - self.mmax_pad)])
+                xk = jnp.pad(xk, [(0, 0)] * (xk.ndim - 2) + [(0, n_half - self.mmax_pad), (0, 0)])
             else:
-                xc = xc[..., :n_half]
-            x = fft_compat.irfft(xc, n=self.nlon, axis=-1, norm="forward")
+                xk = xk[..., :n_half, :]
+            x = fft_compat.irfft_s(xk, n=self.nlon, axis=-1, norm="forward")
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             return x
 
         self._fn = self._shard(
             synthesis,
-            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis), self._spec(self.w_axis, None, self.h_axis)),
+            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis, None), self._spec(self.w_axis, None, self.h_axis)),
             out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
         )
 
+    def synthesis(self, c2):
+        """Split-complex synthesis: (..., L_pad, M_pad, 2) -> real field."""
+        return self._fn(c2, self._table)
+
     def __call__(self, c):
-        return self._fn(c, self._table)
+        return self._fn(fft_compat.from_complex(c), self._table)
 
 
 class DistributedRealFFT2(_DistBase):
@@ -230,35 +236,35 @@ class DistributedRealFFT2(_DistBase):
         def forward(x):
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xf = fft_compat.rfft(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho")
+            xr = fft_compat.rfft_s(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho")
             if self.mmax_pad <= n_half:
-                xf = xf[..., : self.mmax_pad]
+                xr = xr[..., : self.mmax_pad, :]
             else:
-                xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, self.mmax_pad - n_half)])
-            xr = jnp.stack([xf.real, xf.imag], axis=-1)
+                xr = jnp.pad(xr, [(0, 0)] * (xr.ndim - 2) + [(0, self.mmax_pad - n_half), (0, 0)])
             if w > 1:
                 xr = lax.all_to_all(xr, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             if h > 1:
                 xr = lax.all_to_all(xr, self.h_axis, split_axis=1, concat_axis=2, tiled=True)
-            xc = lax.complex(xr[..., 0], xr[..., 1])
-            yf = fft_compat.fft(xc, n=nlat, axis=-2, norm="ortho")
+            yr = fft_compat.fft_s(xr, n=nlat, axis=-2, norm="ortho")
             # two-sided truncation, zero-padded up to lmax_pad
-            yf = jnp.concatenate([yf[..., :lmax_high, :], yf[..., nlat - lmax_low :, :]], axis=-2)
+            yr = jnp.concatenate([yr[..., :lmax_high, :, :], yr[..., nlat - lmax_low :, :, :]], axis=-3)
             if self.lmax_pad > lmax:
-                yf = jnp.pad(yf, [(0, 0)] * (yf.ndim - 2) + [(0, self.lmax_pad - lmax), (0, 0)])
-            yr = jnp.stack([yf.real, yf.imag], axis=-1)
+                yr = jnp.pad(yr, [(0, 0)] * (yr.ndim - 3) + [(0, self.lmax_pad - lmax), (0, 0), (0, 0)])
             if h > 1:
                 yr = lax.all_to_all(yr, self.h_axis, split_axis=2, concat_axis=1, tiled=True)
-            return lax.complex(yr[..., 0], yr[..., 1])
+            return yr
 
         self._fn = self._shard(
             forward,
             in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),),
-            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+            out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis, None),
         )
 
-    def __call__(self, x):
+    def analysis(self, x):
         return self._fn(x)
+
+    def __call__(self, x):
+        return fft_compat.to_complex(self._fn(x))
 
 
 class DistributedInverseRealFFT2(_DistBase):
@@ -276,37 +282,37 @@ class DistributedInverseRealFFT2(_DistBase):
         lmax_high = math.ceil(lmax / 2)
         lmax_low = lmax // 2
 
-        def inverse(c):
-            cr = jnp.stack([c.real, c.imag], axis=-1)
+        def inverse(cr):
             if h > 1:
                 cr = lax.all_to_all(cr, self.h_axis, split_axis=1, concat_axis=2, tiled=True)
-            cc = lax.complex(cr[..., 0], cr[..., 1])[..., :lmax, :]
+            cc = cr[..., :lmax, :, :]
             # re-insert the zero block between positive and negative frequencies
-            high = cc[..., :lmax_high, :]
-            low = cc[..., lmax - lmax_low :, :]
-            pad = [(0, 0)] * (cc.ndim - 2) + [(0, nlat - lmax), (0, 0)]
-            cc = jnp.concatenate([jnp.pad(high, pad), low], axis=-2)
-            yc = fft_compat.ifft(cc, n=nlat, axis=-2, norm="ortho")
-            yr = jnp.stack([yc.real, yc.imag], axis=-1)
+            high = cc[..., :lmax_high, :, :]
+            low = cc[..., lmax - lmax_low :, :, :]
+            pad = [(0, 0)] * (cc.ndim - 3) + [(0, nlat - lmax), (0, 0), (0, 0)]
+            cc = jnp.concatenate([jnp.pad(high, pad), low], axis=-3)
+            yr = fft_compat.ifft_s(cc, n=nlat, axis=-2, norm="ortho")
             if h > 1:
                 yr = lax.all_to_all(yr, self.h_axis, split_axis=2, concat_axis=1, tiled=True)
             if w > 1:
                 yr = lax.all_to_all(yr, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            yc = lax.complex(yr[..., 0], yr[..., 1])
             if self.mmax_pad <= n_half:
-                yc = jnp.pad(yc, [(0, 0)] * (yc.ndim - 1) + [(0, n_half - self.mmax_pad)])
+                yr = jnp.pad(yr, [(0, 0)] * (yr.ndim - 2) + [(0, n_half - self.mmax_pad), (0, 0)])
             else:
-                yc = yc[..., :n_half]
-            y = fft_compat.irfft(yc, n=nlon, axis=-1, norm="ortho")
+                yr = yr[..., :n_half, :]
+            y = fft_compat.irfft_s(yr, n=nlon, axis=-1, norm="ortho")
             if w > 1:
                 y = lax.all_to_all(y, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             return y
 
         self._fn = self._shard(
             inverse,
-            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),),
+            in_specs=(self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis, None),),
             out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
         )
 
+    def synthesis(self, c2):
+        return self._fn(c2)
+
     def __call__(self, c):
-        return self._fn(c)
+        return self._fn(fft_compat.from_complex(c))

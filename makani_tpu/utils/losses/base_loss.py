@@ -110,6 +110,7 @@ class SpectralBaseLoss:
         return len(self.channel_names)
 
     def spectrum_sq(self, x):
-        """|f_lm|^2 with one-sided doubling: (B, C, L, M) real."""
-        coeff = self.sht(x.astype(jnp.float32))
-        return (jnp.square(coeff.real) + jnp.square(coeff.imag)) * jnp.asarray(self.mode_weights)
+        """|f_lm|^2 with one-sided doubling: (B, C, L, M) real (split-complex
+        analysis; no complex dtype on device)."""
+        c2 = self.sht.analysis(x.astype(jnp.float32))
+        return (jnp.square(c2[..., 0]) + jnp.square(c2[..., 1])) * jnp.asarray(self.mode_weights)
