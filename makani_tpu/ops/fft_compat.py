@@ -35,10 +35,18 @@ FORCE_MATMUL = False
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _is_axon() -> bool:
+    # the axon remote-TPU backend registers as plain "tpu" but implements no
+    # FFT or complex ops; it is identifiable only from the environment
+    import os
+
+    return "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+
+
 def use_matmul_fft() -> bool:
     # cpu: XLA thunk-runtime layout bug; axon (remote TPU): no FFT/complex
     # support at all — both use the matmul DFT.
-    return FORCE_MATMUL or jax.default_backend() in ("cpu", "axon")
+    return FORCE_MATMUL or jax.default_backend() == "cpu" or _is_axon()
 
 
 # ---------------------------------------------------------------------------

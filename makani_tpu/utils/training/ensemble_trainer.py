@@ -1,0 +1,183 @@
+"""Ensemble (probabilistic) trainer — ref makani/utils/training/
+ensemble_trainer.py:62-839.
+
+Trains with an ensemble of perturbed forecasts scored by probabilistic losses
+(CRPS family / energy scores). The reference folds the local ensemble into
+the batch dimension and splits members across the "ensemble" process group;
+here the fold is the same but the split is a sharding: arrays of leading
+dimension B*E are sharded over the mesh's ("batch", "ensemble") axes, so
+members land on the ensemble axis automatically.
+
+Noise design: the stochastic input noise (spherical GRF / OU diffusion) is
+exogenous — its state evolution does not depend on the model — so the full
+noise time series for a rollout is drawn *before* the step and fed through
+the same per-step window mechanism as the zenith channels. This keeps the
+whole ensemble train step one pure jit function (the reference mutates noise
+buffers inside the rollout). Antithetic ("centered") pairing negates the
+innovations of every second member (ref preprocessor.py:154-167).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from makani_tpu.models.noise import build_noise
+from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+__all__ = ["EnsembleTrainer"]
+
+
+def expand_ensemble(x, E: int):
+    """(B, ...) -> (B*E, ...) by repetition (ref utils/functions.py:29-43)."""
+    return jnp.repeat(x, E, axis=0)
+
+
+def fold_ensemble(x, E: int):
+    """(B*E, C, H, W) -> (B, E, C, H, W)."""
+    B = x.shape[0] // E
+    return x.reshape(B, E, *x.shape[1:])
+
+
+class EnsembleTrainer(Trainer):
+    def __init__(self, params, world_rank: int = 0):
+        self.ensemble_size = params.get("ensemble_size", 1)
+        noise_params = params.get("input_noise", None)
+        if noise_params is None:
+            raise ValueError("EnsembleTrainer requires an input_noise config")
+        self.centered = noise_params.get("centered", False)
+        if self.centered and self.ensemble_size % 2 != 0:
+            raise ValueError("centered (antithetic) noise needs an even ensemble size")
+        self.noise_mode = noise_params.get("mode", "concatenate")
+
+        super().__init__(params, world_rank)
+
+        img_shape = (params.get("img_shape_x"), params.get("img_shape_y"))
+        self.noise = build_noise(
+            dict(noise_params, grid_type=params.get("model_grid_type", "equiangular")),
+            img_shape,
+            num_time_steps=1,
+        )
+        self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 1)
+        self._ens_train_step = self._build_ens_train_step()
+
+    # -- channel bookkeeping: zenith + noise are both per-step appended channels
+    def _noise_sequence(self, key, batch_size: int, total_steps: int):
+        """Draw the exogenous noise time series (B*E, total_steps, Cn, H, W)."""
+        BE = batch_size * self.ensemble_size
+        draw = BE // 2 if self.centered else BE
+
+        keys = jax.random.split(key, total_steps + 1)
+        state = self.noise.init_state(keys[0], draw)
+        fields = [self.noise.sample(state)[:, 0]]
+        for t in range(1, total_steps):
+            state = self.noise.update(state, keys[t], replace_state=False)
+            fields.append(self.noise.sample(state)[:, 0])
+        seq = jnp.stack(fields, axis=1)  # (draw, T, Cn, H, W)
+        if self.centered:
+            # antithetic pairs: members (2k, 2k+1) get (+eta, -eta)
+            seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
+        return seq
+
+    def _prepare_ensemble_batch(self, batch):
+        """Fold the ensemble into the batch dim and attach noise channels."""
+        E = self.ensemble_size
+        inp = expand_ensemble(jnp.asarray(batch["inp"]), E)
+        tar = jnp.asarray(batch["tar"])
+        zen = expand_ensemble(jnp.asarray(batch["zen"]), E) if "zen" in batch else None
+
+        n_hist = self.params.get("n_history", 0)
+        total_steps = n_hist + 1 + self.n_future
+        self._noise_key, sub = jax.random.split(self._noise_key)
+        noise_seq = self._noise_sequence(sub, batch["inp"].shape[0], total_steps)
+
+        if self.noise_mode == "concatenate":
+            unp = jnp.concatenate([zen, noise_seq], axis=2) if zen is not None else noise_seq
+        elif self.noise_mode == "perturb":
+            raise NotImplementedError("perturb noise mode not yet implemented")
+        else:
+            raise NotImplementedError(f"noise mode {self.noise_mode}")
+        return inp, tar, unp
+
+    def train_one_epoch(self):
+        import time
+
+        t0 = time.time()
+        losses = []
+        n_samples = 0
+        E = self.ensemble_size
+        for batch in self.train_loader:
+            inp, tar, unp = self._prepare_ensemble_batch(batch)
+            inp = jax.device_put(inp, self.data_sharding)
+            tar = jax.device_put(tar, self.data_sharding)
+            unp = jax.device_put(unp, self.zen_sharding)
+            loss, self.opt_state, self.model_params = self._ens_train_step(
+                self.model_params, self.opt_state, inp, tar, unp
+            )
+            losses.append(loss)
+            n_samples += batch["inp"].shape[0]
+            self.iters += 1
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+        dt = time.time() - t0
+        return {
+            "train_loss": train_loss,
+            "train_samples_per_sec": n_samples / dt,
+            "train_time": dt,
+            "step_time_ms": 1000.0 * dt / max(1, len(losses)),
+        }
+
+    def _build_ens_train_step(self):
+        import optax
+        from functools import partial
+
+        model, loss_obj, tx, E = self.model, self.loss_obj, self.tx, self.ensemble_size
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(p, s, inp, tar, unp):
+            def loss_fn(q):
+                pred = model.apply(q, inp, unp, train=True)  # (B*E, steps*C, H, W)
+                pred = fold_ensemble(pred, E)  # (B, E, steps*C, H, W)
+                return loss_obj(pred, tar, train=True)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s, p)
+            # same return order as the parent trainer: (loss, opt_state, params)
+            return loss, s, optax.apply_updates(p, updates)
+
+        return step
+
+    def validate_one_epoch(self):
+        """Ensemble rollout validation: CRPS/spread/SSR over the members."""
+        self.metrics.reset()
+        E = self.ensemble_size
+        n_hist = self.params.get("n_history", 0)
+        n_out = len(self.params.get("out_channels"))
+        T = n_hist + 1
+        S = self.params.get("valid_autoreg_steps", 0) + 1
+        valid_losses = []
+
+        for batch in self.valid_loader:
+            inp = expand_ensemble(jnp.asarray(batch["inp"]), E)
+            tar = jnp.asarray(batch["tar"])
+            zen = expand_ensemble(jnp.asarray(batch["zen"]), E) if "zen" in batch else None
+            total_steps = n_hist + S
+            self._noise_key, sub = jax.random.split(self._noise_key)
+            noise_seq = self._noise_sequence(sub, batch["inp"].shape[0], max(total_steps, T))
+            unp = jnp.concatenate([zen, noise_seq], axis=2) if zen is not None else noise_seq
+
+            inpt = inp
+            for step in range(S):
+                uwin = unp[:, step : step + T] if unp.shape[1] >= step + T else unp[:, -T:]
+                pred = self._eval_step(self.model_params, inpt, uwin)
+                pred_e = fold_ensemble(pred, E)
+                tstep = tar[:, step * n_out : (step + 1) * n_out]
+                self.metrics.update(pred_e, tstep, step)
+                if step == 0:
+                    valid_losses.append(self.loss_obj(pred_e, tstep, train=False))
+                if step < S - 1:
+                    inpt = self.preprocessor.append_history(inpt, pred, step)
+        logs = self.metrics.finalize()
+        logs["valid_loss"] = float(jnp.mean(jnp.stack(valid_losses))) if valid_losses else float("nan")
+        return logs
