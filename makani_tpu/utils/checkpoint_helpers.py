@@ -48,7 +48,12 @@ class CheckpointManager:
     def save(self, model_params, opt_state, meta: dict, is_best: bool = False):
         version = (get_latest_checkpoint_version(self.checkpoint_dir) or 0) + 1
         path = self._path(version)
-        self._ckptr.save(os.path.abspath(path), {"model": model_params, "opt": opt_state})
+        # model and optimizer state live in separate sub-checkpoints so
+        # inference can restore weights without knowing the optimizer pytree
+        os.makedirs(path, exist_ok=True)
+        self._ckptr.save(os.path.abspath(os.path.join(path, "model")), model_params)
+        if opt_state is not None:
+            self._ckptr.save(os.path.abspath(os.path.join(path, "opt")), opt_state)
         self._ckptr.wait_until_finished()
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -74,24 +79,26 @@ class CheckpointManager:
                 return int(f.read().strip())
         return None
 
-    def restore(self, version: int, model_params, opt_state):
+    def restore(self, version: int, model_params, opt_state=None):
         path = self._path(version)
-        target = {"model": model_params, "opt": opt_state}
-        restored = self._ckptr.restore(os.path.abspath(path), target)
+        model = self._ckptr.restore(os.path.abspath(os.path.join(path, "model")), model_params)
+        opt = None
+        if opt_state is not None and os.path.isdir(os.path.join(path, "opt")):
+            opt = self._ckptr.restore(os.path.abspath(os.path.join(path, "opt")), opt_state)
         meta = {}
         meta_path = os.path.join(path, "meta.json")
         if os.path.isfile(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-        return restored["model"], restored["opt"], meta
+        return model, opt, meta
 
-    def restore_latest(self, model_params, opt_state):
+    def restore_latest(self, model_params, opt_state=None):
         version = get_latest_checkpoint_version(self.checkpoint_dir)
         if version is None:
             return None
         return self.restore(version, model_params, opt_state)
 
-    def restore_best(self, model_params, opt_state):
+    def restore_best(self, model_params, opt_state=None):
         version = self.best_version() or get_latest_checkpoint_version(self.checkpoint_dir)
         if version is None:
             return None

@@ -112,7 +112,9 @@ class Trainer:
         if params.get("resuming", False):
             restored = self.checkpoint.restore_latest(self.model_params, self.opt_state)
             if restored is not None:
-                self.model_params, self.opt_state, meta = restored
+                self.model_params, opt, meta = restored
+                if opt is not None:
+                    self.opt_state = opt
                 self.epoch = meta.get("epoch", 0)
                 self.iters = meta.get("iters", 0)
                 self.best_valid_loss = meta.get("best_valid_loss", float("inf"))

@@ -1,0 +1,73 @@
+"""Dataloader and dataset-metadata tests (ref makani tests/test_dataloader.py,
+test_parse_dataset_metadata.py)."""
+
+import numpy as np
+import pytest
+
+from tests.testutils import get_default_parameters, init_hdf5_dataset
+
+
+def test_multifiles_dataset(tmp_path):
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(tmp_path, **paths)
+
+    ds = MultifilesDataset(params, paths["train_data_path"], train=True)
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["inp"].shape == (1, 5, 16, 32)
+    assert s["tar"].shape == (1, 5, 16, 32)
+    assert "izen" in s and s["izen"].shape == (1, 1, 16, 32)
+    # zenith is a cosine
+    assert np.abs(s["izen"]).max() <= 1.0 + 1e-6
+
+    # normalization applied: mean 1, std 2 raw -> roughly standard normal
+    assert abs(float(s["inp"].mean())) < 0.5
+    assert abs(float(s["inp"].std()) - 1.0) < 0.3
+
+
+def test_multifiles_respects_dt_and_windows(tmp_path):
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+
+    paths = init_hdf5_dataset(tmp_path, samples_per_year=30)
+    params = get_default_parameters(tmp_path, n_history=1, n_future=1, dt=2, **paths)
+    ds = MultifilesDataset(params, paths["train_data_path"], train=True)
+    s = ds[0]
+    assert s["inp"].shape[0] == 2  # n_history + 1
+    assert s["tar"].shape[0] == 2  # n_future + 1
+
+
+def test_batch_iterator(tmp_path):
+    from makani_tpu.utils.dataloader import get_dataloader
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(tmp_path, batch_size=4, **paths)
+    it, ds = get_dataloader(params, paths["train_data_path"], mode="train")
+    batch = next(iter(it))
+    assert batch["inp"].shape == (4, 5, 16, 32)
+    assert batch["tar"].shape == (4, 5, 16, 32)
+    assert batch["zen"].shape == (4, 1, 1, 16, 32)
+
+
+def test_parse_dataset_metadata(tmp_path):
+    from makani_tpu.utils.parse_dataset_metadata import parse_dataset_metadata
+    from tests.testutils import CHANNEL_NAMES
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(tmp_path, **paths)
+    params, meta = parse_dataset_metadata(paths["metadata_json_path"], params)
+    assert params["img_shape_x"] == 16
+    assert params["img_shape_y"] == 32
+    assert params["in_channels"] == list(range(len(CHANNEL_NAMES)))
+    assert params["dhours"] == 6
+
+
+def test_get_sample_at_time(tmp_path):
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+
+    paths = init_hdf5_dataset(tmp_path, years=(2017,), samples_per_year=24)
+    params = get_default_parameters(tmp_path, **paths)
+    ds = MultifilesDataset(params, paths["train_data_path"], train=False)
+    idx = ds.get_sample_at_time(np.datetime64("2017-01-02T00:00:00"))
+    assert 0 <= idx < len(ds)

@@ -1,0 +1,57 @@
+"""Inference stack tests (ref makani tests/test_inference.py): train briefly,
+then run the Inferencer end-to-end on real HDF5 data including output files."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from makani_tpu.parallel import mesh as pmesh
+from tests.testutils import get_default_parameters, init_hdf5_dataset
+
+
+@pytest.fixture(autouse=True)
+def reset_mesh():
+    yield
+    pmesh.cleanup()
+
+
+def test_inferencer_end_to_end(tmp_path):
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+    from makani_tpu.utils.inference.inferencer import Inferencer
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(
+        tmp_path,
+        save_checkpoint="flexible",
+        max_epochs=1,
+        valid_autoreg_steps=2,
+        save_raw_forecasts=True,
+        metric_names=["rmse", "acc", "l1"],
+        **paths,
+    )
+    t = Trainer(params)
+    t.train()
+    pmesh.cleanup()
+
+    inf = Inferencer(params)
+    out_dir = os.path.join(str(tmp_path), "inference")
+    logs = inf.score_model(output_dir=out_dir)
+
+    assert np.isfinite(logs["rmse"])
+    assert np.isfinite(logs["acc"])
+    assert os.path.isfile(os.path.join(out_dir, "metrics.h5"))
+    assert os.path.isfile(os.path.join(out_dir, "temporal_averages.h5"))
+    assert os.path.isfile(os.path.join(out_dir, "spectra.h5"))
+    assert os.path.isfile(os.path.join(out_dir, "raw_forecasts.h5"))
+
+    with h5py.File(os.path.join(out_dir, "raw_forecasts.h5")) as f:
+        fields = f["fields"]
+        assert fields.shape[1] == 3  # rollout steps
+        assert fields.shape[2] == 5  # channels
+        assert np.isfinite(fields[...]).all()
+
+    with h5py.File(os.path.join(out_dir, "metrics.h5")) as f:
+        assert "rmse" in f
+        assert f["rmse"].shape[0] == 3
