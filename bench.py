@@ -26,6 +26,13 @@ import numpy as np
 
 
 def main():
+    # transform GEMMs at TF32-equivalent fidelity (bf16x3) — matches the
+    # precision the reference's A100 cuBLAS TF32 path actually computes at;
+    # override with MAKANI_TRANSFORM_PRECISION=highest for exact fp32
+    from makani_tpu.ops.precision import set_transform_precision
+
+    set_transform_precision(os.environ.get("MAKANI_TRANSFORM_PRECISION", "high"))
+
     import jax
     import jax.numpy as jnp
     import optax

@@ -138,7 +138,11 @@ def get_model(params, multistep: bool = False):
         "num_groups",
         "patch_size",
         "depth",
+        "depth_layers",
         "num_heads",
+        "window_size",
+        "skip_fno",
+        "nested_skip_fno",
         "num_blocks",
         "sparsity_threshold",
         "kernel_shape",
@@ -152,6 +156,27 @@ def get_model(params, multistep: bool = False):
             kwargs[key] = params.get(key)
     if "use_bias" in fields and params.get("bias", None) is not None:
         kwargs["use_bias"] = params.get("bias")
+    # channel-grouped models (FCN3/SNO) need the channel name lists
+    if "channel_names" in fields:
+        kwargs["channel_names"] = tuple(params.get("channel_names"))
+    if "aux_channel_names" in fields:
+        noise_cfg = params.get("input_noise", {}) or {}
+        kwargs["aux_channel_names"] = tuple(
+            get_auxiliary_channels(
+                add_zenith=params.get("add_zenith", False),
+                add_grid=params.get("add_grid", False),
+                grid_type=params.get("gridtype", None),
+                grid_num_frequencies=params.get("grid_num_frequencies", 0),
+                add_orography=params.get("add_orography", False),
+                add_landmask=params.get("add_landmask", False),
+                landmask_preprocessing=params.get("landmask_preprocessing", "floor"),
+                n_noise_chan=noise_cfg.get("n_channels", 0) if noise_cfg.get("mode", "concatenate") == "concatenate" else 0,
+            )
+        )
+    if "clamp_water" in fields and params.get("clamp_water", None) is not None:
+        kwargs["clamp_water"] = params.get("clamp_water")
+    if "filter_basis_norm_mode" in fields and params.get("filter_basis_norm_mode", None) is not None:
+        kwargs["filter_basis_norm_mode"] = params.get("filter_basis_norm_mode")
     if "dtype" in fields:
         compute_dtype = params.get("compute_dtype", "float32")
         kwargs["dtype"] = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]

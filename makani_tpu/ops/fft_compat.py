@@ -27,12 +27,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .precision import transform_precision
+
 __all__ = ["rfft", "irfft", "fft", "ifft", "rfft2", "irfft2", "use_matmul_fft"]
 
 # set to True to force the matmul-DFT path on all backends (perf experiments)
 FORCE_MATMUL = False
 
-_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _is_axon() -> bool:
@@ -76,8 +77,8 @@ def rfft_s(x, n=None, axis=-1, norm=None):
             xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - xm.shape[-1])])
     c, s = _rdft_mats(n)
     f = _norm_factor(n, norm, inverse=False)
-    re = jnp.einsum("...k,km->...m", xm, c, precision=_PRECISION) * f
-    im = jnp.einsum("...k,km->...m", xm, s, precision=_PRECISION) * f
+    re = jnp.einsum("...k,km->...m", xm, c, precision=transform_precision()) * f
+    im = jnp.einsum("...k,km->...m", xm, s, precision=transform_precision()) * f
     out = jnp.stack([re, im], axis=-1)
     if axis not in (-1, x.ndim - 1):
         out = jnp.moveaxis(out, -2, axis)
@@ -102,8 +103,8 @@ def irfft_s(x2, n=None, axis=-1, norm=None):
     c, s = _irdft_mats(n)
     f = _norm_factor(n, norm, inverse=True)
     out = (
-        jnp.einsum("...m,mk->...k", xm[..., 0], c, precision=_PRECISION)
-        + jnp.einsum("...m,mk->...k", xm[..., 1], s, precision=_PRECISION)
+        jnp.einsum("...m,mk->...k", xm[..., 0], c, precision=transform_precision())
+        + jnp.einsum("...m,mk->...k", xm[..., 1], s, precision=transform_precision())
     ) * f
     if axis not in (-1, out.ndim - 1):
         out = jnp.moveaxis(out, -1, axis)
@@ -122,8 +123,8 @@ def fft_s(x2, n=None, axis=-1, norm=None, sign: int = -1):
     c, s = _dft_mats(n, sign=sign)
     f = _norm_factor(n, norm, inverse=(sign == +1))
     xr, xi = xm[..., 0], xm[..., 1]
-    re = (jnp.einsum("...k,kn->...n", xr, c, precision=_PRECISION) - jnp.einsum("...k,kn->...n", xi, s, precision=_PRECISION)) * f
-    im = (jnp.einsum("...k,kn->...n", xr, s, precision=_PRECISION) + jnp.einsum("...k,kn->...n", xi, c, precision=_PRECISION)) * f
+    re = (jnp.einsum("...k,kn->...n", xr, c, precision=transform_precision()) - jnp.einsum("...k,kn->...n", xi, s, precision=transform_precision())) * f
+    im = (jnp.einsum("...k,kn->...n", xr, s, precision=transform_precision()) + jnp.einsum("...k,kn->...n", xi, c, precision=transform_precision())) * f
     out = jnp.stack([re, im], axis=-1)
     if ax != x2.ndim - 2:
         out = jnp.moveaxis(out, -2, ax)
@@ -219,8 +220,8 @@ def rfft(x, n=None, axis=-1, norm=None):
             xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - xm.shape[-1])])
     c, s = _rdft_mats(n)
     f = _norm_factor(n, norm, inverse=False)
-    re = jnp.einsum("...k,km->...m", xm, c, precision=_PRECISION) * f
-    im = jnp.einsum("...k,km->...m", xm, s, precision=_PRECISION) * f
+    re = jnp.einsum("...k,km->...m", xm, c, precision=transform_precision()) * f
+    im = jnp.einsum("...k,km->...m", xm, s, precision=transform_precision()) * f
     out = jax.lax.complex(re, im)
     return _unmove_last(out, axis, x.ndim)
 
@@ -239,8 +240,8 @@ def irfft(x, n=None, axis=-1, norm=None):
     c, s = _irdft_mats(n)
     f = _norm_factor(n, norm, inverse=True)
     out = (
-        jnp.einsum("...m,mk->...k", xm.real, c, precision=_PRECISION)
-        + jnp.einsum("...m,mk->...k", xm.imag, s, precision=_PRECISION)
+        jnp.einsum("...m,mk->...k", xm.real, c, precision=transform_precision())
+        + jnp.einsum("...m,mk->...k", xm.imag, s, precision=transform_precision())
     ) * f
     return _unmove_last(out, axis, x.ndim)
 
@@ -253,8 +254,8 @@ def fft(x, n=None, axis=-1, norm=None):
     c, s = _dft_mats(n, sign=-1)
     f = _norm_factor(n, norm, inverse=False)
     xr, xi = jnp.real(xm), jnp.imag(xm)
-    re = (jnp.einsum("...k,km->...m", xr, c, precision=_PRECISION) - jnp.einsum("...k,km->...m", xi, s, precision=_PRECISION)) * f
-    im = (jnp.einsum("...k,km->...m", xr, s, precision=_PRECISION) + jnp.einsum("...k,km->...m", xi, c, precision=_PRECISION)) * f
+    re = (jnp.einsum("...k,km->...m", xr, c, precision=transform_precision()) - jnp.einsum("...k,km->...m", xi, s, precision=transform_precision())) * f
+    im = (jnp.einsum("...k,km->...m", xr, s, precision=transform_precision()) + jnp.einsum("...k,km->...m", xi, c, precision=transform_precision())) * f
     return _unmove_last(jax.lax.complex(re, im), axis, x.ndim)
 
 
@@ -266,8 +267,8 @@ def ifft(x, n=None, axis=-1, norm=None):
     c, s = _dft_mats(n, sign=+1)
     f = _norm_factor(n, norm, inverse=True)
     xr, xi = jnp.real(xm), jnp.imag(xm)
-    re = (jnp.einsum("...k,km->...m", xr, c, precision=_PRECISION) - jnp.einsum("...k,km->...m", xi, s, precision=_PRECISION)) * f
-    im = (jnp.einsum("...k,km->...m", xr, s, precision=_PRECISION) + jnp.einsum("...k,km->...m", xi, c, precision=_PRECISION)) * f
+    re = (jnp.einsum("...k,km->...m", xr, c, precision=transform_precision()) - jnp.einsum("...k,km->...m", xi, s, precision=transform_precision())) * f
+    im = (jnp.einsum("...k,km->...m", xr, s, precision=transform_precision()) + jnp.einsum("...k,km->...m", xi, c, precision=transform_precision())) * f
     return _unmove_last(jax.lax.complex(re, im), axis, x.ndim)
 
 

@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .precision import transform_precision
+
 from . import fft_compat
 from .legendre import precompute_legpoly
 from .quadrature import precompute_latitudes
@@ -37,17 +39,16 @@ __all__ = ["RealSHT", "InverseRealSHT"]
 
 # The Legendre contraction is a long accumulation over quadrature points; run
 # the MXU in full fp32 (bf16x6 passes) rather than the default bf16.
-_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _analysis_contract_s(xf2: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """split (..., nlat, mmax, 2) x (mmax, lmax, nlat) -> split (..., lmax, mmax, 2)."""
-    return jnp.einsum("...kmr,mlk->...lmr", xf2, weights, precision=_PRECISION)
+    return jnp.einsum("...kmr,mlk->...lmr", xf2, weights, precision=transform_precision())
 
 
 def _synthesis_contract_s(c2: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
     """split (..., lmax, mmax, 2) x (mmax, lmax, nlat) -> split (..., nlat, mmax, 2)."""
-    return jnp.einsum("...lmr,mlk->...kmr", c2, pct, precision=_PRECISION)
+    return jnp.einsum("...lmr,mlk->...kmr", c2, pct, precision=transform_precision())
 
 
 class RealSHT:

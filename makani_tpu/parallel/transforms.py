@@ -37,6 +37,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from makani_tpu.ops.precision import transform_precision
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
@@ -47,7 +49,6 @@ from makani_tpu.parallel import mesh as mesh_mod
 
 __all__ = ["DistributedRealSHT", "DistributedInverseRealSHT", "DistributedRealFFT2", "DistributedInverseRealFFT2"]
 
-_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _pad_up(n: int, k: int) -> int:
@@ -137,7 +138,7 @@ class DistributedRealSHT(_DistBase):
             if w > 1:
                 xr = lax.all_to_all(xr, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
             # partial Legendre GEMM over the local latitude rows
-            part = jnp.einsum("bckmr,mlk->bclmr", xr, table, precision=_PRECISION)
+            part = jnp.einsum("bckmr,mlk->bclmr", xr, table, precision=transform_precision())
             if h > 1:
                 part = lax.psum_scatter(part, self.h_axis, scatter_dimension=2, tiled=True)
             return part
@@ -182,7 +183,7 @@ class DistributedInverseRealSHT(_DistBase):
             # cr local: (B, C, L_loc, M_loc, 2); table local: (M_loc, L_pad, K_loc)
             if h > 1:
                 cr = lax.all_gather(cr, self.h_axis, axis=2, tiled=True)  # (B, C, L_pad, M_loc, 2)
-            xk = jnp.einsum("bclmr,mlk->bckmr", cr, table, precision=_PRECISION)
+            xk = jnp.einsum("bclmr,mlk->bckmr", cr, table, precision=transform_precision())
             if w > 1:
                 xk = lax.all_to_all(xk, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
             if self.mmax_pad <= n_half:

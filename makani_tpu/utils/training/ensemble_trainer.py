@@ -63,6 +63,12 @@ class EnsembleTrainer(Trainer):
         self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 1)
         self._ens_train_step = self._build_ens_train_step()
 
+        # targets are NOT ensemble-folded: they shard over the batch axis only,
+        # while folded (B*E) arrays shard over ("batch", "ensemble")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.tar_sharding = NamedSharding(self.mesh, P("batch", None, "h", "w"))
+
     # -- channel bookkeeping: zenith + noise are both per-step appended channels
     def _noise_sequence(self, key, batch_size: int, total_steps: int):
         """Draw the exogenous noise time series (B*E, total_steps, Cn, H, W)."""
@@ -111,7 +117,7 @@ class EnsembleTrainer(Trainer):
         for batch in self.train_loader:
             inp, tar, unp = self._prepare_ensemble_batch(batch)
             inp = jax.device_put(inp, self.data_sharding)
-            tar = jax.device_put(tar, self.data_sharding)
+            tar = jax.device_put(tar, self.tar_sharding)
             unp = jax.device_put(unp, self.zen_sharding)
             loss, self.opt_state, self.model_params = self._ens_train_step(
                 self.model_params, self.opt_state, inp, tar, unp

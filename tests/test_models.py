@@ -38,21 +38,32 @@ def make_params(nettype, **overrides):
     return ParamsBase(base)
 
 
-TESTABLE = ["SFNO", "FNO", "AFNO", "ViT", "DebugNet"]
+TESTABLE = ["SFNO", "FNO", "AFNO", "AFNOv2", "ViT", "DebugNet", "Pangu"]
+
+OVERRIDES = {
+    "Pangu": dict(
+        channel_names=["t2m", "msl", "u500", "t500", "u850", "t850"],
+        in_channels=list(range(6)),
+        out_channels=list(range(6)),
+        patch_size=(2, 4, 4),
+        window_size=(2, 3, 6),
+    ),
+}
 
 
 @pytest.mark.parametrize("nettype", TESTABLE)
 def test_forward_backward(nettype):
-    params = make_params(nettype)
+    params = make_params(nettype, **OVERRIDES.get(nettype, {}))
     model, pre = get_model(params, multistep=False)
 
-    B, C, H, W = 2, 5, 24, 48
+    C = len(params.get("channel_names"))
+    B, H, W = 2, 24, 48
     x = jax.random.normal(jax.random.PRNGKey(1), (B, C, H, W))
     zen = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 1, H, W))
     p = model.init(jax.random.PRNGKey(0), x, zen)
 
     y = model.apply(p, x, zen)
-    assert y.shape == (B, 5, H, W)
+    assert y.shape == (B, C, H, W)
     assert np.isfinite(np.asarray(y)).all()
 
     g = jax.grad(lambda q: jnp.mean(model.apply(q, x, zen) ** 2))(p)
@@ -80,5 +91,5 @@ def test_multistep_wrapper(nettype):
 
 def test_list_models():
     models = list_models()
-    for m in ["SFNO", "FNO", "AFNO", "ViT", "DebugNet", "FCN3", "Pangu", "SNO"]:
+    for m in ["SFNO", "FNO", "AFNO", "AFNOv2", "ViT", "DebugNet", "FCN3", "Pangu", "SNO"]:
         assert m in models
