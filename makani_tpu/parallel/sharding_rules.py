@@ -1,0 +1,89 @@
+"""Parameter partition rules: tensor ("matmul") and spectral ("h") sharding.
+
+Replaces the reference's hand-written distributed layers and per-parameter
+metadata (``DistributedMLP``/``DistributedEncoderDecoder``/
+``DistributedAttention`` in ``makani/mpu/layers.py:35-1091`` and the
+``is_shared_mp``/``sharded_dims_mp`` annotations, e.g.
+``spectral_convolution.py:195-203``): under pjit, Megatron-style tensor
+parallelism is purely a *sharding assignment* on the weight pytree — XLA
+derives the fork-join collectives and the transposed gradient reductions.
+
+Rules (matched on the flax parameter path):
+
+  * block MLP fc1 kernel        -> output features sharded over "matmul"
+    (column parallel); fc1 bias sharded likewise
+  * block MLP fc2 kernel        -> input features sharded over "matmul"
+    (row parallel; XLA inserts the single all-reduce of the pair)
+  * encoder/decoder hidden kernels -> column/row alternation likewise
+  * attention qkv kernel        -> heads (output) sharded over "matmul",
+    proj kernel input sharded (the reference's head-sharded
+    DistributedAttention)
+  * SpectralConv dhconv weight  -> degree axis sharded over "h" (the
+    reference's sharded_dims_mp=[..., "h"]); diagonal weight sharded
+    (l->"h", m->"w")
+  * everything else             -> replicated
+
+Returns a PartitionSpec pytree aligned with the parameter pytree, for
+``jax.device_put`` / ``jit`` in_shardings.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["infer_param_partition_spec"]
+
+
+def _spec_for(path: str, leaf) -> P:
+    nd = leaf.ndim
+    parts = path.lower()
+
+    def axis_spec(dim, name):
+        spec = [None] * nd
+        spec[dim] = name
+        return P(*spec)
+
+    # spectral convolution weights: split-complex trailing pair axis
+    if "filter" in parts and "weight" in parts:
+        # dhconv: (g, cin, [cout,] L, 2); diagonal: (g, cin, [cout,] L, M, 2)
+        if nd >= 5:  # diagonal
+            spec = [None] * nd
+            spec[-3] = "h"
+            spec[-2] = "w"
+            return P(*spec)
+        if nd >= 4:  # dhconv
+            return axis_spec(nd - 2, "h")
+        return P()
+
+    # pointwise MLP pair: fc1 column-parallel, fc2 row-parallel
+    if "mlp" in parts and "fc1" in parts and "kernel" in parts:
+        return axis_spec(nd - 1, "matmul")
+    if "mlp" in parts and "fc1" in parts and "bias" in parts:
+        return axis_spec(nd - 1, "matmul")
+    if "mlp" in parts and "fc2" in parts and "kernel" in parts:
+        return axis_spec(nd - 2, "matmul")
+
+    # encoder/decoder stacks: hidden layers column-parallel, output row-parallel
+    if ("encoder" in parts or "decoder" in parts) and "hidden" in parts and "kernel" in parts:
+        return axis_spec(nd - 1, "matmul")
+    if ("encoder" in parts or "decoder" in parts) and "/out/" in parts and "kernel" in parts:
+        return axis_spec(nd - 2, "matmul")
+
+    # attention: head-sharded qkv (column), proj row-parallel
+    if "qkv" in parts and "kernel" in parts:
+        return axis_spec(nd - 1, "matmul")
+    if "attn" in parts and "proj" in parts and "kernel" in parts:
+        return axis_spec(nd - 2, "matmul")
+
+    return P()
+
+
+def infer_param_partition_spec(params):
+    """PartitionSpec pytree for a flax params pytree."""
+
+    def fn(path, leaf):
+        keys = "/".join(str(k.key) if hasattr(k, "key") else str(k) for k in path)
+        return _spec_for("/" + keys + "/", leaf)
+
+    return jax.tree_util.tree_map_with_path(fn, params)

@@ -94,14 +94,20 @@ class Trainer:
         # optimizer
         steps_per_epoch = max(1, len(self.train_loader))
         self.tx, self.schedule = get_optimizer(params, self.model_params, steps_per_epoch)
-        self.opt_state = self.tx.init(self.model_params)
 
-        # shardings
-        self.param_sharding = NamedSharding(self.mesh, P())
+        # shardings: tensor/spectral parallelism is a partition-spec assignment
+        # on the weight pytree (see parallel/sharding_rules.py); pjit derives
+        # the Megatron fork-join collectives and gradient reductions from it
+        from makani_tpu.parallel.sharding_rules import infer_param_partition_spec
+
+        specs = infer_param_partition_spec(self.model_params)
+        self.param_sharding = jax.tree_util.tree_map(lambda sp: NamedSharding(self.mesh, sp), specs)
         self.data_sharding = NamedSharding(self.mesh, P(("batch", "ensemble"), None, "h", "w"))
         self.zen_sharding = NamedSharding(self.mesh, P(("batch", "ensemble"), None, None, "h", "w"))
         self.model_params = jax.device_put(self.model_params, self.param_sharding)
-        self.opt_state = jax.device_put(self.opt_state, self.param_sharding)
+        # optimizer state inherits the parameter shardings through jit;
+        # normalize any stray single-device leaves (scalar counters) onto the mesh
+        self.opt_state = self._normalize_opt_sharding(jax.jit(self.tx.init)(self.model_params))
 
         # checkpointing
         self.checkpoint = CheckpointManager(params)
@@ -112,9 +118,12 @@ class Trainer:
         if params.get("resuming", False):
             restored = self.checkpoint.restore_latest(self.model_params, self.opt_state)
             if restored is not None:
-                self.model_params, opt, meta = restored
+                model, opt, meta = restored
+                # orbax may restore onto a single device; re-apply the shardings
+                self.model_params = jax.device_put(model, self.param_sharding)
                 if opt is not None:
-                    self.opt_state = opt
+                    opt_shardings = jax.tree_util.tree_map(lambda t: t.sharding, self.opt_state)
+                    self.opt_state = self._normalize_opt_sharding(jax.device_put(opt, opt_shardings))
                 self.epoch = meta.get("epoch", 0)
                 self.iters = meta.get("iters", 0)
                 self.best_valid_loss = meta.get("best_valid_loss", float("inf"))
@@ -146,6 +155,17 @@ class Trainer:
         self._eval_step = eval_step
 
     # ------------------------------------------------------------------
+    def _normalize_opt_sharding(self, opt_state):
+        replicated = NamedSharding(self.mesh, P())
+
+        def fix(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if not isinstance(sh, NamedSharding) or sh.mesh.shape != self.mesh.shape:
+                return jax.device_put(leaf, replicated)
+            return leaf
+
+        return jax.tree_util.tree_map(fix, opt_state)
+
     def _put_batch(self, batch):
         inp = jax.device_put(batch["inp"], self.data_sharding)
         tar = jax.device_put(batch["tar"], self.data_sharding)

@@ -20,5 +20,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite re-jits the same small models on
+# every run; caching cuts repeat wall-clock by minutes
+jax.config.update("jax_compilation_cache_dir", "/tmp/makani_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
