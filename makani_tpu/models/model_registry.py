@@ -183,6 +183,21 @@ def get_model(params, multistep: bool = False):
 
     model = handle(**{k: v for k, v in kwargs.items() if k in fields})
 
+    # physics constraints wrapper (ref model_registry.py: ConstraintsWrapper injection)
+    constraints_cfg = params.get("constraints", None)
+    if constraints_cfg:
+        from makani_tpu.models.parametrizations import ConstraintsWrapper, build_constraints
+
+        bias = scale = None
+        try:
+            from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
+
+            bias, scale = get_data_normalization(params)
+        except Exception:
+            pass
+        names = [params.get("channel_names")[i] for i in params.get("out_channels")]
+        model = ConstraintsWrapper(model=model, constraints=tuple(build_constraints(constraints_cfg, names, bias, scale)))
+
     if multistep:
         ms = params.get("multistep", {"push_forward": False}) or {"push_forward": False}
         wrapper = MultiStepWrapper(
