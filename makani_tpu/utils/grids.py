@@ -131,6 +131,48 @@ class GridQuadrature:
         return jnp.sum(x * jnp.asarray(w, dtype=x.dtype), axis=(-2, -1))
 
 
+class BandLimitMask:
+    """Band-limit a field by a spectral round trip (ref grids.py:194-263).
+
+    type "sht": SHT -> truncate to lmax -> ISHT (split-complex path).
+    type "fft": per-latitude longitudinal cutoff m <= 2 pi sin(theta) /
+    delta_equator — cheaper, masks only zonal wavenumbers.
+    """
+
+    def __init__(self, img_shape, grid_type: str = "equiangular", lmax: int | None = None, type: str = "sht"):
+        from makani_tpu.ops import fft_compat
+        from makani_tpu.ops.sht import InverseRealSHT, RealSHT
+
+        self.img_shape = tuple(img_shape)
+        self.grid_type = grid_type
+        self.lmax = lmax if lmax is not None else compute_spherical_bandlimit(img_shape, grid_type)
+        self.type = type
+        self._fft_compat = fft_compat
+
+        if type == "sht":
+            self.forward_transform = RealSHT(*img_shape, lmax=self.lmax, mmax=self.lmax, grid=grid_type)
+            self.inverse_transform = InverseRealSHT(*img_shape, lmax=self.lmax, mmax=self.lmax, grid=grid_type)
+        elif type == "fft":
+            theta, _ = precompute_latitudes(img_shape[0], grid=grid_type)
+            delta_equator = 2 * np.pi / (self.lmax - 1)
+            mlim = np.ceil(2 * np.pi * np.sin(theta) / delta_equator).reshape(-1, 1)
+            ms = np.arange(img_shape[1] // 2 + 1).reshape(1, -1)
+            self.mask = (ms <= mlim).astype(np.float32)
+        else:
+            raise ValueError(f"Unknown truncation type {type}")
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        if self.type == "sht":
+            out = self.inverse_transform.synthesis(self.forward_transform.analysis(xf))
+        else:
+            spec = self._fft_compat.rfft_s(xf, axis=-1, norm="ortho")
+            spec = spec * jnp.asarray(self.mask)[..., None]
+            out = self._fft_compat.irfft_s(spec, n=self.img_shape[1], axis=-1, norm="ortho")
+        return out.astype(dtype)
+
+
 class GridConverter:
     """Latitude interpolation between grids (equiangular -> legendre-gauss).
 

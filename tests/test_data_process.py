@@ -1,0 +1,108 @@
+"""Offline data-process tooling tests (ref makani tests/test_data_process.py)."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from tests.testutils import init_hdf5_dataset
+
+
+def test_get_stats(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from data_process.get_stats import compute_stats
+
+    paths = init_hdf5_dataset(tmp_path, samples_per_year=16)
+    out = os.path.join(str(tmp_path), "computed_stats")
+    compute_stats(paths["train_data_path"], out, chunk=5)
+
+    means = np.load(os.path.join(out, "global_means.npy"))
+    stds = np.load(os.path.join(out, "global_stds.npy"))
+    assert means.shape == (1, 5, 1, 1)
+    # data generated as 2*randn + 1
+    np.testing.assert_allclose(means.ravel(), 1.0, atol=0.2)
+    np.testing.assert_allclose(stds.ravel(), 2.0, atol=0.3)
+    tm = np.load(os.path.join(out, "time_means.npy"))
+    assert tm.shape == (1, 5, 16, 32)
+    assert np.isfinite(np.load(os.path.join(out, "time_diff_stds.npy"))).all()
+
+
+def test_get_climatology(tmp_path):
+    from data_process.get_climatology import compute_climatology
+
+    paths = init_hdf5_dataset(tmp_path, samples_per_year=16)
+    out = os.path.join(str(tmp_path), "clim.h5")
+    clim = compute_climatology(paths["train_data_path"], out)
+    assert os.path.isfile(out)
+    assert np.isfinite(clim).any()
+
+
+def test_get_spectra(tmp_path):
+    from data_process.get_spectra import compute_spectra
+
+    paths = init_hdf5_dataset(tmp_path, samples_per_year=8)
+    out = os.path.join(str(tmp_path), "spec.h5")
+    spec = compute_spectra(paths["train_data_path"], out, max_samples=8)
+    assert spec.shape[0] == 5
+    assert np.isfinite(spec).all() and (spec >= 0).all()
+
+
+def test_get_histograms(tmp_path):
+    from data_process.get_histograms import compute_histograms
+
+    paths = init_hdf5_dataset(tmp_path, samples_per_year=8)
+    out = os.path.join(str(tmp_path), "hist.h5")
+    counts, edges = compute_histograms(paths["train_data_path"], out, bins=32)
+    assert counts.shape == (5, 32)
+    assert counts.sum() == 2 * 8 * 5 * 16 * 32  # 2 years x 8 samples x C x H x W
+
+
+def test_h5_convert_and_annotate(tmp_path):
+    from data_process.h5_convert import annotate, convert
+
+    paths = init_hdf5_dataset(tmp_path, years=(2017,), samples_per_year=4)
+    src = os.path.join(paths["train_data_path"], "2017.h5")
+    dst = os.path.join(str(tmp_path), "2017_conv.h5")
+    convert(src, dst, compression="gzip")
+    with h5py.File(dst) as f:
+        assert f["fields"].compression == "gzip"
+        np.testing.assert_allclose(f["fields"][0], h5py.File(src)["fields"][0])
+
+    annotate(dst, paths["metadata_json_path"], year=2017)
+    with h5py.File(dst) as f:
+        assert "lat" in f and "channel" in f
+
+
+def test_bandlimit_mask():
+    import jax.numpy as jnp
+
+    from makani_tpu.utils.grids import BandLimitMask
+
+    mask = BandLimitMask((16, 32), grid_type="equiangular", lmax=6, type="sht")
+    x = np.random.RandomState(0).randn(1, 2, 16, 32).astype(np.float32)
+    y = np.asarray(mask(jnp.asarray(x)))
+    y2 = np.asarray(mask(jnp.asarray(y)))
+    np.testing.assert_allclose(y2, y, atol=1e-4)  # projection
+
+    fmask = BandLimitMask((16, 32), grid_type="equiangular", lmax=6, type="fft")
+    yf = np.asarray(fmask(jnp.asarray(x)))
+    assert yf.shape == x.shape and np.isfinite(yf).all()
+
+
+def test_visualize(tmp_path):
+    from makani_tpu.utils.visualize import plot_comparison, plot_field, plot_rollout_curves, windspeed
+
+    rng = np.random.RandomState(0)
+    field = rng.randn(16, 32)
+    p1 = plot_field(field, "t2m", path=os.path.join(str(tmp_path), "f.png"))
+    p2 = plot_comparison(field, field + 0.1, "t2m", path=os.path.join(str(tmp_path), "c.png"))
+    curves = {"rmse": rng.rand(5, 3), "acc": rng.rand(5, 3)}
+    p3 = plot_rollout_curves(curves, ["u10m", "v10m", "t2m"], path=os.path.join(str(tmp_path), "r.png"))
+    for p in (p1, p2, p3):
+        assert os.path.isfile(p)
+
+    ws = windspeed(rng.randn(4, 3, 8, 8), ["u10m", "v10m", "t2m"])
+    assert ws.shape == (4, 8, 8) and (ws >= 0).all()
