@@ -99,6 +99,23 @@ def get_dataloader(params, location: str, mode: str = "train", final_eval: bool 
         dataset = MultifilesDataset(params, location, train=train, final_eval=final_eval)
 
     batch_size = params.get("batch_size", 1)
+    loader_kind = params.get("data_loader_config", "threaded")
+    if loader_kind == "grain" and not params.get("enable_synthetic_data", False):
+        try:
+            from makani_tpu.utils.dataloaders.data_loader_grain import GrainDataLoader
+
+            return (
+                GrainDataLoader(
+                    dataset,
+                    batch_size=batch_size,
+                    shuffle=train,
+                    seed=params.get("seed", 333),
+                    num_workers=params.get("num_data_workers", 2),
+                ),
+                dataset,
+            )
+        except ImportError:
+            pass
     it = BatchIterator(
         dataset,
         batch_size=batch_size,
