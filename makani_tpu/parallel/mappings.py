@@ -52,9 +52,23 @@ def _copy_bwd(axis_name, _res, g):
 copy_to_parallel_region.defvjp(_copy_fwd, _copy_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def reduce_from_parallel_region(x, axis_name: str):
-    """psum forward; identity backward comes from psum's transpose."""
+    """psum forward / identity backward (ref mappings.py:94-114). The custom
+    backward matters: under check_vma=False JAX transposes psum to psum,
+    which double-counts when paired with copy_to_parallel_region."""
     return lax.psum(x, axis_name)
+
+
+def _reduce_fwd(x, axis_name):
+    return lax.psum(x, axis_name), None
+
+
+def _reduce_bwd(axis_name, _res, g):
+    return (g,)
+
+
+reduce_from_parallel_region.defvjp(_reduce_fwd, _reduce_bwd)
 
 
 def scatter_to_parallel_region(x, dim: int, axis_name: str):
