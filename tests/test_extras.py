@@ -159,3 +159,35 @@ def test_autoencoder_trainer(tmp_path):
     t = AutoencoderTrainer(params)
     logs = t.train()
     assert np.isfinite(logs[0]["train_loss"])
+
+
+def test_wb2_layout_roundtrip():
+    from makani_tpu.utils.dataloaders.wb2_helpers import from_wb2_layout, to_wb2_layout, wb2_variable_name
+
+    assert wb2_variable_name("z500") == ("geopotential", 500)
+    assert wb2_variable_name("t2m") == ("2m_temperature", None)
+
+    names = ["u10m", "t2m", "z500", "z850", "t500", "t850"]
+    rng = np.random.RandomState(0)
+    fields = rng.randn(3, len(names), 8, 16).astype(np.float32)
+    wb2 = to_wb2_layout(fields, names)
+    assert wb2["geopotential"].shape == (3, 2, 8, 16)
+    back = from_wb2_layout(wb2, names)
+    np.testing.assert_allclose(back, fields)
+
+
+def test_driver_defaults_and_shapes():
+    from makani_tpu.utils.driver import derive_data_shapes, set_default_parameters
+
+    params = ParamsBase(dict(channel_names=["u10m", "v10m", "t2m"], add_zenith=True, n_history=1))
+    set_default_parameters(params)
+    derive_data_shapes(params)
+    assert params["N_in_channels"] == 2 * (3 + 1)  # (hist+1) * (prog + zenith)
+    assert params["N_out_channels"] == 3
+
+
+def test_count_parameters():
+    from makani_tpu.models.helpers import count_parameters
+
+    tree = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(5)}}
+    assert count_parameters(tree) == 17
