@@ -48,6 +48,7 @@ def _populate():
         ("ViT", "makani_tpu.models.networks.vit:VisionTransformer"),
         ("SNO", "makani_tpu.models.networks.snonet:SphericalNeuralOperatorNet"),
         ("FCN3", "makani_tpu.models.networks.fourcastnet3:AtmoSphericNeuralOperatorNet"),
+        ("FCN3.1", "makani_tpu.models.networks.fourcastnet3_1:AtmoSphericNeuralOperatorNet31"),
         ("Pangu", "makani_tpu.models.networks.pangu:Pangu"),
     ]:
         _REGISTRY[name] = path

@@ -41,6 +41,7 @@ _ACTIVATIONS = {
     "relu": jax.nn.relu,
     "gelu": partial(jax.nn.gelu, approximate=False),
     "silu": jax.nn.silu,
+    "sin": jnp.sin,
     "identity": lambda x: x,
 }
 

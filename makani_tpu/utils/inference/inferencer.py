@@ -59,6 +59,23 @@ class Inferencer:
         self.model, self.preprocessor = get_model(params, multistep=True)
         self.n_out = len(params.get("out_channels"))
 
+        # ensemble inference (HENS-style, ref inferencer + ensemble.py): expand
+        # each initial condition into E members perturbed by the configured noise
+        self.ensemble_size = params.get("ensemble_size", 1)
+        self.noise = None
+        if self.ensemble_size > 1 and params.get("input_noise", None):
+            from makani_tpu.models.noise import build_noise
+
+            noise_params = params.get("input_noise")
+            self.centered = noise_params.get("centered", False)
+            self.noise_mode = noise_params.get("mode", "concatenate")
+            self.noise = build_noise(
+                dict(noise_params, grid_type=params.get("model_grid_type", "equiangular")),
+                (params.get("img_shape_x"), params.get("img_shape_y")),
+                num_time_steps=1,
+            )
+            self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 99)
+
         clim = None
         try:
             clim = get_climatology(params)
@@ -70,8 +87,12 @@ class Inferencer:
         # initialize and restore parameters
         H, W = params.get("img_shape_x"), params.get("img_shape_y")
         n_in_flat = (params.get("n_history", 0) + 1) * len(params.get("in_channels"))
+        noise_cfg = params.get("input_noise", None) or {}
+        n_dyn = (1 if params.get("add_zenith", False) else 0) + (
+            noise_cfg.get("n_channels", 0) if noise_cfg and noise_cfg.get("mode", "concatenate") == "concatenate" and self.ensemble_size > 1 else 0
+        )
         dummy_inp = jnp.zeros((1, n_in_flat, H, W), jnp.float32)
-        dummy_zen = jnp.zeros((1, params.get("n_history", 0) + 1, 1, H, W), jnp.float32) if params.get("add_zenith", False) else None
+        dummy_zen = jnp.zeros((1, params.get("n_history", 0) + 1, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
         self.model_params = self.model.init(jax.random.PRNGKey(0), dummy_inp, dummy_zen)
 
         ckpt = CheckpointManager(params)
@@ -119,23 +140,51 @@ class Inferencer:
         self.spectrum_buffer = SpectrumAverageBuffer((H, W), S, n_out, params.get("model_grid_type", "equiangular"))
         self.zonal_buffer = ZonalSpectrumAverageBuffer((H, W), S, n_out)
 
+        E = self.ensemble_size
         ic_index = 0
         for batch in self.valid_loader:
-            inp = jax.device_put(batch["inp"], self.data_sharding)
+            inp = jnp.asarray(batch["inp"])
             tar = jnp.asarray(batch["tar"])
             zen = jnp.asarray(batch["zen"]) if "zen" in batch else None
+            if E > 1:
+                from makani_tpu.utils.functions import expand_ensemble, fold_ensemble
+
+                inp = expand_ensemble(inp, E)
+                zen = expand_ensemble(zen, E) if zen is not None else None
+                if self.noise is not None:
+                    self._noise_key, sub = jax.random.split(self._noise_key)
+                    total_steps = n_hist + S
+                    draw = inp.shape[0] // 2 if self.centered else inp.shape[0]
+                    keys = jax.random.split(sub, total_steps + 1)
+                    state = self.noise.init_state(keys[0], draw)
+                    fields = [self.noise.sample(state)[:, 0]]
+                    for t in range(1, total_steps):
+                        state = self.noise.update(state, keys[t], replace_state=False)
+                        fields.append(self.noise.sample(state)[:, 0])
+                    seq = jnp.stack(fields, axis=1)
+                    if self.centered:
+                        seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
+                    zen = jnp.concatenate([zen, seq], axis=2) if zen is not None else seq
+            inp = jax.device_put(inp, self.data_sharding)
 
             inpt = inp
             for step in range(S):
                 zwin = None if zen is None else zen[:, step : step + T]
                 pred = self._eval_step(self.model_params, inpt, zwin)
+                if E > 1:
+                    from makani_tpu.utils.functions import fold_ensemble
+
+                    pred_scored = fold_ensemble(pred, E)
+                else:
+                    pred_scored = pred
                 tstep = tar[:, step * n_out : (step + 1) * n_out]
-                self.metrics.update(pred, tstep, step)
-                self.temporal_buffer.update(pred, step)
-                self.spectrum_buffer.update(pred, step)
-                self.zonal_buffer.update(pred, step)
+                self.metrics.update(pred_scored, tstep, step)
+                pred_mean = jnp.mean(pred_scored, axis=1) if E > 1 else pred
+                self.temporal_buffer.update(pred_mean, step)
+                self.spectrum_buffer.update(pred_mean, step)
+                self.zonal_buffer.update(pred_mean, step)
                 if hasattr(self, "rollout_buffer"):
-                    self.rollout_buffer.update(pred, step, ic_index)
+                    self.rollout_buffer.update(pred_mean, step, ic_index)
                 if step < S - 1:
                     inpt = self.preprocessor.append_history(inpt, pred, step)
             ic_index += 1

@@ -55,3 +55,31 @@ def test_inferencer_end_to_end(tmp_path):
     with h5py.File(os.path.join(out_dir, "metrics.h5")) as f:
         assert "rmse" in f
         assert f["rmse"].shape[0] == 3
+
+
+def test_ensemble_inference(tmp_path):
+    """HENS-style ensemble scoring: expand each IC into noise-perturbed members."""
+    from makani_tpu.utils.training.ensemble_trainer import EnsembleTrainer
+    from makani_tpu.utils.inference.inferencer import Inferencer
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(
+        tmp_path,
+        save_checkpoint="flexible",
+        max_epochs=1,
+        batch_size=4,
+        ensemble_size=2,
+        ensemble_parallel_size=2,
+        valid_autoreg_steps=1,
+        input_noise={"type": "white", "n_channels": 1, "mode": "concatenate", "sigma": 0.5, "alpha": 2.0},
+        losses=[{"type": "crps", "channel_weights": "constant", "parameters": {"crps_type": "skillspread"}}],
+        metric_names=["rmse", "crps", "spread", "ssr"],
+        **paths,
+    )
+    t = EnsembleTrainer(params)
+    t.train()
+    pmesh.cleanup()
+
+    inf = Inferencer(params)
+    logs = inf.score_model(output_dir=None)
+    assert np.isfinite(logs["crps"]) and np.isfinite(logs["ssr"])
