@@ -43,7 +43,7 @@ def main():
 
     nlat = int(os.environ.get("BENCH_NLAT", 361))
     nlon = int(os.environ.get("BENCH_NLON", 720))
-    batch = int(os.environ.get("BENCH_BATCH", 1))
+    batch = int(os.environ.get("BENCH_BATCH", 2))
     embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     steps = int(os.environ.get("BENCH_STEPS", 8))
