@@ -48,6 +48,8 @@ def main():
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     steps = int(os.environ.get("BENCH_STEPS", 8))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
+    # remat level (0 = none); B=4 at 361x720 needs >=3 to fit in 16GB HBM
+    ckpt = int(os.environ.get("BENCH_CHECKPOINTING", 0))
 
     names = [f"ch{i}" for i in range(73)]
     params = ParamsBase(
@@ -60,6 +62,7 @@ def main():
             num_layers=layers,
             operator_type="dhconv",
             normalization_layer="instance_norm",
+            checkpointing_level=ckpt,
             channel_names=names,
             in_channels=list(range(73)),
             out_channels=list(range(73)),

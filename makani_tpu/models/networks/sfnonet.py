@@ -402,7 +402,12 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             else:
                 residual = x
 
-        x = EncoderDecoder(
+        # checkpointing level >= 4 additionally remats the encoder/decoder
+        # point-wise MLPs (their activations at full spatial resolution are
+        # among the largest live buffers)
+        encdec_cls = nn.remat(EncoderDecoder) if self.checkpointing_level >= 4 else EncoderDecoder
+
+        x = encdec_cls(
             num_layers=self.encoder_layers,
             output_dim=self.embed_dim,
             hidden_dim=int(self.encoder_ratio * self.embed_dim),
@@ -475,7 +480,7 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             )
             x = block(x, deterministic)
 
-        x = EncoderDecoder(
+        x = encdec_cls(
             num_layers=self.encoder_layers,
             output_dim=self.out_chans,
             hidden_dim=int(self.decoder_ratio * self.embed_dim),

@@ -28,30 +28,49 @@ __all__ = ["LossHandler", "LOSS_REGISTRY"]
 
 
 def _make_registry():
+    from makani_tpu.utils.losses.amse_loss import SpectralAMSELoss
+    from makani_tpu.utils.losses.crps_loss import CRPSLoss, SpectralCRPSLoss
+    from makani_tpu.utils.losses.energy_score import LpEnergyScoreLoss, SobolevEnergyScoreLoss, SpectralL2EnergyScoreLoss
+    from makani_tpu.utils.losses.gradient_losses import GradientCRPSLoss, VortDivCRPSLoss
+    from makani_tpu.utils.losses.hydrostatic_loss import HydrostaticBalanceLoss
+    from makani_tpu.utils.losses.likelihood_loss import EnsembleNLLLoss
+    from makani_tpu.utils.losses.mmd_loss import GaussianMMDLoss
+    from makani_tpu.utils.losses.regularization import CoherenceRegularization, DriftRegularization, SpectralRegularization
+
     reg = {
+        # deterministic (reference registry names, makani/utils/loss.py:34-55,
+        # plus legacy spelled-out aliases)
         "l1": lambda **kw: GeometricLpLoss(p=1.0, **kw),
         "l2": lambda **kw: GeometricLpLoss(p=2.0, **kw),
         "geometric l2": lambda **kw: GeometricLpLoss(p=2.0, **kw),
         "relative l2": lambda **kw: GeometricLpLoss(p=2.0, relative=True, **kw),
         "squared l2": lambda **kw: GeometricLpLoss(p=2.0, squared=True, **kw),
+        "spectral l1": lambda **kw: SpectralLpLoss(p=1.0, **kw),
         "spectral l2": lambda **kw: SpectralLpLoss(p=2.0, **kw),
         "spectral-l2": lambda **kw: SpectralLpLoss(p=2.0, **kw),
         "h1": lambda **kw: SpectralH1Loss(**kw),
         "spectral h1": lambda **kw: SpectralH1Loss(**kw),
+        "amse": lambda **kw: SpectralAMSELoss(**kw),
+        "hydrostatic": lambda **kw: HydrostaticBalanceLoss(**kw),
+        # probabilistic
+        "crps": lambda **kw: CRPSLoss(**kw),
+        "ensemble_crps": lambda **kw: CRPSLoss(**kw),
+        "spectral crps": lambda **kw: SpectralCRPSLoss(**kw),
+        "ensemble_spectral_crps": lambda **kw: SpectralCRPSLoss(**kw),
+        "ensemble_gradient_crps": lambda **kw: GradientCRPSLoss(**kw),
+        "ensemble_vort_div_crps": lambda **kw: VortDivCRPSLoss(**kw),
+        "ensemble_nll": lambda **kw: EnsembleNLLLoss(**kw),
+        "gaussian_mmd": lambda **kw: GaussianMMDLoss(**kw),
+        "energy score": lambda **kw: LpEnergyScoreLoss(**kw),
+        "lp_energy_score": lambda **kw: LpEnergyScoreLoss(**kw),
+        "l2_energy_score": lambda **kw: LpEnergyScoreLoss(p=2.0, **kw),
+        "sobolev_energy_score": lambda **kw: SobolevEnergyScoreLoss(**kw),
+        "spectral_l2_energy_score": lambda **kw: SpectralL2EnergyScoreLoss(**kw),
+        # regularizers
+        "drift_regularization": lambda **kw: DriftRegularization(**kw),
+        "spectral_regularization": lambda **kw: SpectralRegularization(**kw),
+        "coherence_regularization": lambda **kw: CoherenceRegularization(**kw),
     }
-    try:
-        from makani_tpu.utils.losses.crps_loss import CRPSLoss, SpectralCRPSLoss
-
-        reg["crps"] = lambda **kw: CRPSLoss(**kw)
-        reg["spectral crps"] = lambda **kw: SpectralCRPSLoss(**kw)
-    except ImportError:
-        pass
-    try:
-        from makani_tpu.utils.losses.energy_score import EnergyScoreLoss
-
-        reg["energy score"] = lambda **kw: EnergyScoreLoss(**kw)
-    except ImportError:
-        pass
     return reg
 
 
@@ -144,6 +163,17 @@ class LossHandler:
                     chw = chw * time_diff_scale
             else:
                 chw = compute_channel_weighting(channel_names, cw_type, time_diff_scale=time_diff_scale)
+
+            # losses that define their own channel count (hydrostatic residuals,
+            # channel-reduced scores, per-component gradient CRPS) get uniform
+            # weights over their outputs (ref loss.py: per-loss
+            # compute_channel_weighting hooks)
+            n_ch = getattr(fn, "n_channels", len(channel_names))
+            if n_ch != chw.shape[0]:
+                if n_ch == 2 * chw.shape[0]:
+                    chw = np.repeat(chw, 2) / 2.0  # component-doubled channels
+                else:
+                    chw = np.full(n_ch, 1.0 / n_ch, dtype=np.float32)
 
             chw = chw * loss.get("relative_weight", 1.0)
             channel_weights.append(chw.reshape(1, -1))
