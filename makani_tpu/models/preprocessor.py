@@ -157,6 +157,19 @@ class Preprocessor2D:
         self.n_static_channels = 0 if self.static_features is None else self.static_features.shape[1]
         self.aux_channel_names = get_auxiliary_channels(**params.to_dict()) if hasattr(params, "to_dict") else []
 
+        # input-noise "perturb" mode: trailing noise channels of the
+        # unpredicted tensor are ADDED to selected input channels instead of
+        # concatenated (ref preprocessor.py:176-179, 449-456)
+        noise_params = params.get("input_noise", None) or {}
+        self.input_noise_mode = noise_params.get("mode", "concatenate") if noise_params else "none"
+        self.perturb_channels = None
+        if self.input_noise_mode == "perturb":
+            channel_names = list(params.get("channel_names", []))
+            in_ch = params.get("in_channels", list(range(len(channel_names))))
+            in_names = [channel_names[i] for i in in_ch]
+            pch = noise_params.get("perturb_channels", in_names)
+            self.perturb_channels = np.asarray([in_names.index(c) for c in pch])
+
     # ---- history handling -------------------------------------------------
     def flatten_history(self, x):
         if x.ndim == 5:
@@ -186,9 +199,25 @@ class Preprocessor2D:
     # ---- channel appending ------------------------------------------------
     def append_channels(self, x, xc):
         """Append per-timestep channels (zenith) to a flattened-history input
-        (ref preprocessor.py:412-464). x: (B, T*C, H, W), xc: (B, T, Cz, H, W)."""
+        (ref preprocessor.py:412-464). x: (B, T*C, H, W), xc: (B, T, Cz, H, W).
+
+        In input-noise "perturb" mode the LAST ``len(perturb_channels)``
+        channels of ``xc`` are interpreted as noise and added to the selected
+        input channels; any leading channels (zenith) are appended as usual."""
         if xc is None:
             return x
+        if self.perturb_channels is not None:
+            T = self.n_history + 1
+            if xc.ndim == 4:
+                xc = xc[:, None]
+            Cn = len(self.perturb_channels)
+            noise, xc = xc[:, :, -Cn:], xc[:, :, :-Cn]
+            xe = self.expand_history(x, T)
+            idx = jnp.asarray(self.perturb_channels)
+            xe = xe.at[:, :, idx].add(noise.astype(xe.dtype))
+            x = self.flatten_history(xe)
+            if xc.shape[2] == 0:
+                return x
         T = self.n_history + 1
         xe = self.expand_history(x, T)
         if xc.ndim == 4:
@@ -255,6 +284,24 @@ class Preprocessor2D:
         if self.bias_correction is None:
             return x
         return x - jnp.asarray(self.bias_correction, dtype=x.dtype)
+
+
+def get_unpredicted_channels(params, with_noise: bool = True) -> int:
+    """Channel count of the per-step unpredicted tensor fed to the stepper:
+    zenith + concatenated noise channels, or zenith + perturb noise channels
+    (the latter are consumed, not concatenated, by the preprocessor)."""
+    n = 1 if params.get("add_zenith", False) else 0
+    noise_cfg = params.get("input_noise", None) or {}
+    if noise_cfg and with_noise:
+        mode = noise_cfg.get("mode", "concatenate")
+        if mode == "concatenate":
+            n += noise_cfg.get("n_channels", 1)
+        elif mode == "perturb":
+            channel_names = list(params.get("channel_names", []))
+            in_ch = params.get("in_channels", list(range(len(channel_names))))
+            pch = noise_cfg.get("perturb_channels", None)
+            n += len(pch) if pch is not None else len(in_ch)
+    return n
 
 
 def get_preprocessor(params) -> Preprocessor2D:

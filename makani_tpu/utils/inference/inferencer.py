@@ -69,8 +69,11 @@ class Inferencer:
             noise_params = params.get("input_noise")
             self.centered = noise_params.get("centered", False)
             self.noise_mode = noise_params.get("mode", "concatenate")
+            noise_cfg = dict(noise_params, grid_type=params.get("model_grid_type", "equiangular"))
+            if self.noise_mode == "perturb":
+                noise_cfg["n_channels"] = len(self.preprocessor.perturb_channels)
             self.noise = build_noise(
-                dict(noise_params, grid_type=params.get("model_grid_type", "equiangular")),
+                noise_cfg,
                 (params.get("img_shape_x"), params.get("img_shape_y")),
                 num_time_steps=1,
             )
@@ -87,10 +90,9 @@ class Inferencer:
         # initialize and restore parameters
         H, W = params.get("img_shape_x"), params.get("img_shape_y")
         n_in_flat = (params.get("n_history", 0) + 1) * len(params.get("in_channels"))
-        noise_cfg = params.get("input_noise", None) or {}
-        n_dyn = (1 if params.get("add_zenith", False) else 0) + (
-            noise_cfg.get("n_channels", 0) if noise_cfg and noise_cfg.get("mode", "concatenate") == "concatenate" and self.ensemble_size > 1 else 0
-        )
+        from makani_tpu.models.preprocessor import get_unpredicted_channels
+
+        n_dyn = get_unpredicted_channels(params, with_noise=self.ensemble_size > 1)
         dummy_inp = jnp.zeros((1, n_in_flat, H, W), jnp.float32)
         dummy_zen = jnp.zeros((1, params.get("n_history", 0) + 1, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
         self.model_params = self.model.init(jax.random.PRNGKey(0), dummy_inp, dummy_zen)

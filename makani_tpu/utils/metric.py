@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from makani_tpu.utils.grids import GridQuadrature, grid_to_quadrature_rule
 from makani_tpu.utils.metrics.functions import (
     ensemble_crps,
+    ensemble_rank_histogram,
     ensemble_spread,
     weighted_acc,
     weighted_l1,
@@ -46,9 +47,10 @@ class MetricsHandler:
         self.reset()
 
     def reset(self):
-        C = len(self.channel_names)
         S = self.num_rollout_steps
-        self._sums = {m: np.zeros((S, C), np.float64) for m in self.metric_names}
+        # sums are allocated lazily on the first update: some metrics carry
+        # extra trailing axes (rank histogram: E+1 bins)
+        self._sums = {}
         self._counts = np.zeros((S,), np.int64)
 
     def compute_batch(self, prd, tar):
@@ -76,6 +78,8 @@ class MetricsHandler:
                 spread = ensemble_spread(prd, quad)
                 rmse = weighted_rmse(prdm, tar, quad)
                 out[m] = spread / (rmse + 1e-8)
+            elif m == "rankhist" and prd.ndim == 5:
+                out[m] = ensemble_rank_histogram(prd, tar, quad)
         return out
 
     def update(self, prd, tar, step: int):
@@ -83,15 +87,26 @@ class MetricsHandler:
         vals = self.compute_batch(prd, tar)
         for m, v in vals.items():
             v = np.asarray(v)
+            if m not in self._sums:
+                self._sums[m] = np.zeros((self.num_rollout_steps, *v.shape[1:]), np.float64)
             self._sums[m][step] += v.sum(axis=0)
         self._counts[step] += np.asarray(vals[next(iter(vals))]).shape[0]
 
     def finalize(self) -> dict:
         """Averaged rollout curves plus scalar summaries."""
         logs = {}
-        counts = np.maximum(self._counts, 1)[:, None]
-        self.rollout_curves = {m: self._sums[m] / counts for m in self._sums}
+        counts = np.maximum(self._counts, 1)
+        self.rollout_curves = {
+            m: s / counts.reshape((-1,) + (1,) * (s.ndim - 1)) for m, s in self._sums.items()
+        }
         for m, curve in self.rollout_curves.items():
+            if m == "rankhist":
+                # scalar summary: rms deviation of the histogram from flat
+                # (0 = calibrated); the full (S, C, E+1) curve is in save()
+                nbins = curve.shape[-1]
+                dev = np.sqrt(np.mean(np.square(curve * nbins - 1.0), axis=(-2, -1)))
+                logs["rankhist_rmsd"] = float(dev[0])
+                continue
             logs[f"{m}"] = float(curve[0].mean())
             for c, name in enumerate(self.channel_names):
                 logs[f"{m}/{name}"] = float(curve[0, c])

@@ -17,6 +17,7 @@ __all__ = [
     "weighted_l1",
     "ensemble_crps",
     "ensemble_spread",
+    "ensemble_rank_histogram",
 ]
 
 
@@ -86,3 +87,21 @@ def ensemble_spread(ens, quad, eps: float = 1e-8):
     """sqrt of mean ensemble variance: (B, E, C, H, W) -> (B, C)."""
     var = jnp.var(ens, axis=1, ddof=1) if ens.shape[1] > 1 else jnp.zeros_like(ens[:, 0])
     return jnp.sqrt(quad(var) + eps)
+
+
+def ensemble_rank_histogram(ens, obs, quad):
+    """Quadrature-weighted rank histogram (ref functions.py:600-670
+    GeometricRankHistogram): the area-weighted frequency of each rank the
+    observation takes within the sorted ensemble.
+
+    ens: (B, E, C, H, W); obs: (B, C, H, W). Returns (B, C, E+1); each (b, c)
+    row sums to 1. A calibrated ensemble is flat; U-shape = underdispersion.
+    The explicit sort+searchsorted is replaced by the rank count
+    ``sum(member <= obs)``, which is identical and avoids the sort.
+    """
+    import jax
+
+    E = ens.shape[1]
+    ranks = jnp.sum(ens <= obs[:, None], axis=1)  # (B, C, H, W) in [0, E]
+    onehot = jax.nn.one_hot(ranks, E + 1, dtype=jnp.float32)  # (B, C, H, W, E+1)
+    return quad(jnp.moveaxis(onehot, -1, -3))  # (B, C, E+1)

@@ -76,11 +76,11 @@ class Trainer:
         H, W = params.get("img_shape_x"), params.get("img_shape_y")
         n_in_flat = (params.get("n_history", 0) + 1) * len(params.get("in_channels"))
         zen_len = params.get("n_history", 0) + 1 + self.n_future
-        # dynamic per-step channels: zenith plus concatenated noise channels
-        noise_cfg = params.get("input_noise", None) or {}
-        n_dyn = (1 if params.get("add_zenith", False) else 0) + (
-            noise_cfg.get("n_channels", 1) if noise_cfg and noise_cfg.get("mode", "concatenate") == "concatenate" else 0
-        )
+        # dynamic per-step channels: zenith plus noise channels (concatenated,
+        # or consumed in place by the preprocessor in "perturb" mode)
+        from makani_tpu.models.preprocessor import get_unpredicted_channels
+
+        n_dyn = get_unpredicted_channels(params)
         dummy_inp = jnp.zeros((1, n_in_flat, H, W), jnp.float32)
         dummy_zen = jnp.zeros((1, zen_len, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
 

@@ -55,11 +55,12 @@ class EnsembleTrainer(Trainer):
         super().__init__(params, world_rank)
 
         img_shape = (params.get("img_shape_x"), params.get("img_shape_y"))
-        self.noise = build_noise(
-            dict(noise_params, grid_type=params.get("model_grid_type", "equiangular")),
-            img_shape,
-            num_time_steps=1,
-        )
+        noise_cfg = dict(noise_params, grid_type=params.get("model_grid_type", "equiangular"))
+        if self.noise_mode == "perturb":
+            # one noise channel per perturbed input channel (ref
+            # preprocessor.py:176-179); the preprocessor adds them in place
+            noise_cfg["n_channels"] = len(self.preprocessor.perturb_channels)
+        self.noise = build_noise(noise_cfg, img_shape, num_time_steps=1)
         self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 1)
         self._ens_train_step = self._build_ens_train_step()
 
@@ -99,12 +100,12 @@ class EnsembleTrainer(Trainer):
         self._noise_key, sub = jax.random.split(self._noise_key)
         noise_seq = self._noise_sequence(sub, batch["inp"].shape[0], total_steps)
 
-        if self.noise_mode == "concatenate":
-            unp = jnp.concatenate([zen, noise_seq], axis=2) if zen is not None else noise_seq
-        elif self.noise_mode == "perturb":
-            raise NotImplementedError("perturb noise mode not yet implemented")
-        else:
+        if self.noise_mode not in ("concatenate", "perturb"):
             raise NotImplementedError(f"noise mode {self.noise_mode}")
+        # both modes pack [zenith..., noise...] along the channel axis; in
+        # perturb mode the preprocessor peels the trailing noise channels off
+        # and adds them to the selected input channels
+        unp = jnp.concatenate([zen, noise_seq], axis=2) if zen is not None else noise_seq
         return inp, tar, unp
 
     def train_one_epoch(self):

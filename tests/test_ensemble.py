@@ -140,3 +140,57 @@ def test_ensemble_trainer(tmp_path):
     assert np.isfinite(logs[0]["train_loss"])
     assert np.isfinite(logs[0]["valid_loss"])
     assert "crps" in logs[0] and "spread" in logs[0] and "ssr" in logs[0]
+
+
+def test_ensemble_trainer_perturb_mode(tmp_path):
+    """Input-noise 'perturb' mode: noise added to selected channels, no extra
+    input channels (ref preprocessor.py:176-179, 449-456)."""
+    from makani_tpu.utils.training.ensemble_trainer import EnsembleTrainer
+
+    params = ParamsBase(
+        dict(
+            nettype="SFNO",
+            enable_synthetic_data=True,
+            img_shape_x=24,
+            img_shape_y=48,
+            scale_factor=2,
+            embed_dim=16,
+            num_layers=2,
+            channel_names=["u10m", "v10m", "t2m", "z500", "q700"],
+            in_channels=[0, 1, 2, 3, 4],
+            out_channels=[0, 1, 2, 3, 4],
+            n_history=0,
+            n_future=0,
+            dt=1,
+            dhours=6,
+            add_zenith=True,
+            batch_size=8,
+            ensemble_size=2,
+            input_noise={
+                "type": "white",
+                "mode": "perturb",
+                "perturb_channels": ["u10m", "v10m", "t2m"],
+                "sigma": 0.1,
+                "alpha": 2.0,
+            },
+            n_train_samples_per_epoch=8,
+            n_eval_samples=8,
+            valid_autoreg_steps=0,
+            losses=[{"type": "crps", "channel_weights": "constant", "parameters": {"crps_type": "skillspread"}}],
+            metric_names=["rmse", "crps", "spread"],
+            lr=1e-3,
+            max_epochs=1,
+            scheduler="none",
+            optimizer_type="Adam",
+            normalization_layer="instance_norm",
+            save_checkpoint="none",
+            exp_dir=str(tmp_path),
+            multistep={"push_forward": False},
+        )
+    )
+    t = EnsembleTrainer(params)
+    assert list(t.preprocessor.perturb_channels) == [0, 1, 2]
+    logs = t.train()
+    assert np.isfinite(logs[0]["train_loss"])
+    # members differ (noise actually applied): spread > 0
+    assert logs[0]["spread"] > 0

@@ -97,6 +97,43 @@ def test_metrics_handler_ensemble():
     assert 0.3 < logs["ssr"] < 3.0
 
 
+def test_rank_histogram_calibration():
+    """A calibrated ensemble gives a ~flat rank histogram; a biased one piles
+    ranks into the end bins (ref functions.py GeometricRankHistogram)."""
+    from makani_tpu.utils.grids import GridQuadrature
+    from makani_tpu.utils.metrics.functions import ensemble_rank_histogram
+
+    quad = GridQuadrature("naive", img_shape=(16, 32), normalize=True)
+    rng = np.random.RandomState(0)
+    E = 7
+    ens = jnp.asarray(rng.randn(4, E, 2, 16, 32).astype(np.float32))
+    obs = jnp.asarray(rng.randn(4, 2, 16, 32).astype(np.float32))
+    hist = np.asarray(ensemble_rank_histogram(ens, obs, quad))
+    assert hist.shape == (4, 2, E + 1)
+    np.testing.assert_allclose(hist.sum(-1), 1.0, rtol=1e-5)
+    # exchangeable obs/members: every rank equally likely
+    np.testing.assert_allclose(hist.mean((0, 1)), 1.0 / (E + 1), atol=0.03)
+    # warm-biased ensemble: observation lands below all members
+    hist_b = np.asarray(ensemble_rank_histogram(ens + 5.0, obs, quad))
+    assert hist_b[..., 0].mean() > 0.99
+
+
+def test_metrics_handler_rankhist():
+    from makani_tpu.utils.metric import MetricsHandler
+
+    params = ParamsBase(
+        dict(img_shape_x=16, img_shape_y=32, channel_names=["a", "b"], valid_autoreg_steps=0, metric_names=["rmse", "rankhist"])
+    )
+    mh = MetricsHandler(params)
+    rng = np.random.RandomState(1)
+    tar = jnp.asarray(rng.randn(4, 2, 16, 32).astype(np.float32))
+    ens = jnp.asarray(rng.randn(4, 8, 2, 16, 32).astype(np.float32))
+    mh.update(ens, tar, 0)
+    logs = mh.finalize()
+    assert "rankhist_rmsd" in logs and logs["rankhist_rmsd"] < 0.3
+    assert mh.rollout_curves["rankhist"].shape == (1, 2, 9)
+
+
 def test_zenith_angle_matches_subsolar_point():
     """cos zenith is max where the sun is overhead; check the subsolar lat
     tracks the declination sign by season."""
