@@ -18,6 +18,7 @@ from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization, get_time_diff_stds
@@ -116,6 +117,16 @@ class LossHandler:
         )
         channel_names = params.get("channel_names")
 
+        # dynamic channel weighting from running loss statistics (ref
+        # loss.py:86-92, 296-333, 453-474). The reference keeps Welford
+        # buffers inside the module; here the state is explicit — the trainer
+        # threads it through the jit step via init_stats()/__call__(stats=...)
+        self.uncertainty_weighting = params.get("uncertainty_weighting", False)
+        self.balanced_weighting = params.get("balanced_weighting", False)
+        self.track_running_stats = self.uncertainty_weighting or self.balanced_weighting
+        self.stats_warmup_batches = params.get("loss_stats_warmup_batches", 100)
+        self.eps = 1e-6
+
         bias, scale = (None, None)
         try:
             bias, scale = get_data_normalization(params)
@@ -189,8 +200,52 @@ class LossHandler:
     def n_channels(self):
         return self.channel_weights.shape[1]
 
-    def __call__(self, prd, tar, wgt=None, inp=None, train: bool = True):
-        """prd: (B, (n_future+1)*C, H, W) or (B, E, C, H, W); tar matches."""
+    # ---- running loss statistics (Chan's parallel Welford) -----------------
+    def init_stats(self):
+        """Zero state for the running per-channel loss statistics; width is
+        the training-time loss vector: n_channels x (n_future + 1)."""
+        K = self.n_channels * (self.n_future + 1)
+        return {
+            "count": jnp.zeros((), jnp.float32),
+            "mean": jnp.zeros((K,), jnp.float32),
+            "m2": jnp.zeros((K,), jnp.float32),
+        }
+
+    @staticmethod
+    def update_stats(stats, vals):
+        """Merge a batch of per-channel loss values (B, K) into the running
+        mean/M2 (Chan et al., pairwise variance update)."""
+        vals = jax.lax.stop_gradient(vals.astype(jnp.float32))
+        nb = float(vals.shape[0])
+        mean_b = jnp.mean(vals, axis=0)
+        m2_b = jnp.var(vals, axis=0) * nb
+        n = stats["count"]
+        tot = n + nb
+        delta = mean_b - stats["mean"]
+        return {
+            "count": tot,
+            "mean": stats["mean"] + delta * nb / tot,
+            "m2": stats["m2"] + m2_b + jnp.square(delta) * n * nb / tot,
+        }
+
+    def _dynamic_weight(self, chw, stats):
+        """Scale the static channel weights by the running statistics:
+        uncertainty: w / sqrt(2 var)   (Kendall & Gal homoscedastic weighting)
+        balanced:    w / mean          (equalizes loss magnitudes).
+        Inactive (identity) during the warmup batches."""
+        active = stats["count"] > self.stats_warmup_batches
+        if self.uncertainty_weighting:
+            var = stats["m2"] / jnp.maximum(stats["count"], 1.0)
+            scaled = chw / (jnp.sqrt(2.0 * var) + self.eps)
+        else:
+            scaled = chw / (stats["mean"] + self.eps)
+        return jnp.where(active, scaled, chw)
+
+    def __call__(self, prd, tar, wgt=None, inp=None, train: bool = True, stats=None):
+        """prd: (B, (n_future+1)*C, H, W) or (B, E, C, H, W); tar matches.
+
+        When ``stats`` (from init_stats) is passed, returns ``(loss,
+        new_stats)`` and applies the configured dynamic weighting."""
         # ensemble mean for deterministic losses
         if prd.ndim == 5:
             prdm = jnp.mean(prd, axis=1)
@@ -225,4 +280,15 @@ class LossHandler:
             reps = all_losses.shape[-1] // chw.shape[-1]
             chw = jnp.tile(chw, (1, reps)) / reps
 
-        return jnp.mean(jnp.sum(chw * all_losses, axis=1), axis=0)
+        new_stats = None
+        if stats is not None and self.track_running_stats:
+            if train:
+                new_stats = self.update_stats(stats, all_losses)
+                chw = self._dynamic_weight(chw, new_stats)
+            else:
+                new_stats = stats
+
+        loss = jnp.mean(jnp.sum(chw * all_losses, axis=1), axis=0)
+        if stats is not None:
+            return loss, new_stats if new_stats is not None else stats
+        return loss

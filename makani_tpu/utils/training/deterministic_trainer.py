@@ -148,6 +148,25 @@ class Trainer:
 
         self._train_step = _train_step
 
+        # dynamic (uncertainty/balanced) loss weighting threads explicit
+        # running-stat state through the step (ref loss.py:453-474)
+        self.loss_stats = None
+        if loss_obj.track_running_stats:
+            self.loss_stats = loss_obj.init_stats()
+
+            @partial(jax.jit, donate_argnums=(0, 1, 5))
+            def _train_step_stats(model_params, opt_state, inp, tar, zen, stats):
+                def loss_fn(p):
+                    pred = model.apply(p, inp, zen, train=True)
+                    return loss_obj(pred, tar, inp=inp, train=True, stats=stats)
+
+                (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(model_params)
+                updates, opt_state = tx.update(grads, opt_state, model_params)
+                model_params = optax.apply_updates(model_params, updates)
+                return loss, opt_state, model_params, new_stats
+
+            self._train_step_stats = _train_step_stats
+
         @jax.jit
         def eval_step(model_params, inp, zen):
             return model.apply(model_params, inp, zen, train=False)
@@ -178,7 +197,12 @@ class Trainer:
         losses = []
         for batch in self.train_loader:
             inp, tar, zen = self._put_batch(batch)
-            loss, self.opt_state, self.model_params = self._train_step(self.model_params, self.opt_state, inp, tar, zen)
+            if self.loss_stats is not None:
+                loss, self.opt_state, self.model_params, self.loss_stats = self._train_step_stats(
+                    self.model_params, self.opt_state, inp, tar, zen, self.loss_stats
+                )
+            else:
+                loss, self.opt_state, self.model_params = self._train_step(self.model_params, self.opt_state, inp, tar, zen)
             losses.append(loss)
             n_samples += batch["inp"].shape[0]
             self.iters += 1

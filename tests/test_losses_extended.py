@@ -168,3 +168,52 @@ def test_handler_with_custom_channel_losses():
     prd, tar = _rand(seed=13), _rand(seed=14)
     val = float(handler(prd, tar, train=True))
     assert np.isfinite(val)
+
+
+def test_dynamic_loss_weighting_stats():
+    """Uncertainty/balanced weighting: Welford stats accumulate correctly and
+    the weighting activates only after the warmup."""
+    base = dict(
+        img_shape_x=SHAPE[0],
+        img_shape_y=SHAPE[1],
+        channel_names=NAMES,
+        in_channels=list(range(len(NAMES))),
+        out_channels=list(range(len(NAMES))),
+        n_future=0,
+        model_grid_type="legendre-gauss",
+        losses=[{"type": "l2", "channel_weights": "constant", "parameters": {"squared": True}}],
+    )
+    params = ParamsBase(dict(base, balanced_weighting=True, loss_stats_warmup_batches=2))
+    handler = LossHandler(params)
+    assert handler.track_running_stats
+    stats = handler.init_stats()
+
+    rng = np.random.RandomState(0)
+    vals = []
+    for i in range(6):
+        prd = jnp.asarray(rng.randn(4, len(NAMES), *SHAPE).astype(np.float32))
+        tar = jnp.asarray(rng.randn(4, len(NAMES), *SHAPE).astype(np.float32))
+        loss, stats = handler(prd, tar, train=True, stats=stats)
+        vals.append(float(loss))
+    assert float(stats["count"]) == 24.0  # 6 batches x 4 samples
+    assert np.isfinite(vals).all()
+    # running mean of a squared-l2 of unit-gaussian diffs is ~2 per channel
+    # (stats track the RAW per-channel loss values, pre channel weighting)
+    mean = np.asarray(stats["mean"])
+    np.testing.assert_allclose(mean, 2.0, rtol=0.15)
+
+    # balanced weighting equalizes: post-warmup loss ~ 1 (sum w_c * L_c / mean_c)
+    assert 0.5 < vals[-1] < 2.0
+
+    # uncertainty variant also runs and differs from static
+    params2 = ParamsBase(dict(base, uncertainty_weighting=True, loss_stats_warmup_batches=0))
+    h2 = LossHandler(params2)
+    s2 = h2.init_stats()
+    l0, s2 = h2(prd, tar, train=True, stats=s2)
+    l1, s2 = h2(prd, tar, train=True, stats=s2)
+    assert np.isfinite(float(l0)) and np.isfinite(float(l1))
+    # gradient flows through the weighted loss
+    import jax as _jax
+
+    g = _jax.grad(lambda p: h2(p, tar, train=True, stats=s2)[0])(prd)
+    assert np.isfinite(np.asarray(g)).all()
