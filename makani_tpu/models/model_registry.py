@@ -207,6 +207,7 @@ def get_model(params, multistep: bool = False):
             n_future=params.get("n_future", 0),
             push_forward=ms.get("push_forward", False),
             multistep_checkpoint=params.get("multistep_checkpoint", False),
+            use_scan=ms.get("use_scan", False),
         )
     else:
         wrapper = SingleStepWrapper(model=model, preprocessor=preprocessor)

@@ -148,3 +148,38 @@ def test_zenith_angle_matches_subsolar_point():
     lat_jul = lats[np.unravel_index(np.argmax(cz_jul), cz_jul.shape)[0]]
     lat_jan = lats[np.unravel_index(np.argmax(cz_jan), cz_jan.shape)[0]]
     assert lat_jul > 15 and lat_jan < -15
+
+
+def test_multistep_scan_matches_unrolled():
+    """use_scan=True rollout equals the Python-unrolled rollout."""
+    from makani_tpu.models.model_registry import get_model
+
+    base = dict(
+        nettype="SFNO",
+        img_shape_x=16,
+        img_shape_y=32,
+        scale_factor=2,
+        embed_dim=16,
+        num_layers=2,
+        channel_names=["a", "b", "c"],
+        in_channels=[0, 1, 2],
+        out_channels=[0, 1, 2],
+        n_history=1,
+        n_future=2,
+        add_zenith=True,
+        normalization_layer="instance_norm",
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 6, 16, 32).astype(np.float32))
+    zen = jnp.asarray(rng.randn(2, 4, 1, 16, 32).astype(np.float32))
+
+    m1, _ = get_model(ParamsBase(dict(base, multistep={"push_forward": False})), multistep=True)
+    m2, _ = get_model(ParamsBase(dict(base, multistep={"push_forward": False, "use_scan": True})), multistep=True)
+    p = m1.init(jax.random.PRNGKey(0), x, zen)
+    y1 = m1.apply(p, x, zen, train=True)
+    y2 = m2.apply(p, x, zen, train=True)
+    assert y1.shape == y2.shape == (2, 9, 16, 32)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4)
+    # eval path is unaffected (single step)
+    e2 = m2.apply(p, x, zen[:, :2], train=False)
+    assert e2.shape == (2, 3, 16, 32)
