@@ -44,6 +44,14 @@ class MultifilesDataset:
         self.in_channels = np.asarray(params.get("in_channels"))
         self.out_channels = np.asarray(params.get("out_channels"))
 
+        # spatial crop + stride subsampling (ref data_loader_multifiles.py:69-71,
+        # 386-419). The reference's io_grid per-rank sharded reads are N/A under
+        # single-process SPMD: the host reads the (cropped) global array and jax
+        # shards it onto the mesh.
+        self.crop_size = (params.get("crop_size_x", None), params.get("crop_size_y", None))
+        self.crop_anchor = (params.get("crop_anchor_x", 0), params.get("crop_anchor_y", 0))
+        self.subsampling_factor = params.get("subsampling_factor", 1)
+
         self.files = sorted(glob.glob(os.path.join(location, "*.h5")))
         if not self.files:
             raise IOError(f"no HDF5 files found under {location}")
@@ -65,8 +73,16 @@ class MultifilesDataset:
             self.n_samples_per_file.append(n)
             self.timestamps.append(ts)
 
-        self.img_shape = shape[2:]
+        self.file_shape = shape[2:]
+        cx = self.crop_size[0] or self.file_shape[0]
+        cy = self.crop_size[1] or self.file_shape[1]
+        if self.crop_anchor[0] + cx > self.file_shape[0] or self.crop_anchor[1] + cy > self.file_shape[1]:
+            raise ValueError(f"crop (anchor {self.crop_anchor}, size {(cx, cy)}) exceeds file shape {self.file_shape}")
+        self.crop_size = (cx, cy)
+        ss = self.subsampling_factor
+        self.img_shape = (int(np.ceil(cx / ss)), int(np.ceil(cy / ss)))
         params["img_shape_x"], params["img_shape_y"] = self.img_shape
+        params["img_crop_offset_x"], params["img_crop_offset_y"] = self.crop_anchor
 
         # margins: need n_history*dt before and (n_future+1)*dt after each index
         self.margin_front = self.n_history * self.dt
@@ -77,13 +93,16 @@ class MultifilesDataset:
 
         self.in_bias, self.in_scale = get_data_normalization(params)
 
+        self._sx = slice(self.crop_anchor[0], self.crop_anchor[0] + cx, ss)
+        self._sy = slice(self.crop_anchor[1], self.crop_anchor[1] + cy, ss)
+
         lat = params.get("lat")
         lon = params.get("lon")
         if lat is None:
-            lat = np.linspace(90.0, -90.0, self.img_shape[0])
-            lon = np.linspace(0.0, 360.0, self.img_shape[1], endpoint=False)
-        self.lat_deg = np.asarray(lat, dtype=np.float64)
-        self.lon_deg = np.asarray(lon, dtype=np.float64)
+            lat = np.linspace(90.0, -90.0, self.file_shape[0])
+            lon = np.linspace(0.0, 360.0, self.file_shape[1], endpoint=False)
+        self.lat_deg = np.asarray(lat, dtype=np.float64)[self._sx]
+        self.lon_deg = np.asarray(lon, dtype=np.float64)[self._sy]
         self._lon_grid, self._lat_grid = np.meshgrid(self.lon_deg, self.lat_deg)
 
     def __len__(self):
@@ -113,8 +132,8 @@ class MultifilesDataset:
         inp_idx = [local - (self.n_history - i) * self.dt for i in range(self.n_history + 1)]
         tar_idx = [local + (i + 1) * self.dt for i in range(self.n_future + 1)]
 
-        inp = np.stack([ds[i] for i in inp_idx]).astype(np.float32)[:, self.in_channels]
-        tar = np.stack([ds[i] for i in tar_idx]).astype(np.float32)[:, self.out_channels]
+        inp = np.stack([ds[i, :, self._sx, self._sy] for i in inp_idx]).astype(np.float32)[:, self.in_channels]
+        tar = np.stack([ds[i, :, self._sx, self._sy] for i in tar_idx]).astype(np.float32)[:, self.out_channels]
 
         inp = (inp - self.in_bias) / self.in_scale
         tar = (tar - self.in_bias) / self.in_scale

@@ -71,3 +71,44 @@ def test_get_sample_at_time(tmp_path):
     ds = MultifilesDataset(params, paths["train_data_path"], train=False)
     idx = ds.get_sample_at_time(np.datetime64("2017-01-02T00:00:00"))
     assert 0 <= idx < len(ds)
+
+
+def test_multifiles_crop_and_subsample(tmp_path):
+    """crop_size/crop_anchor/subsampling_factor (ref data_loader_multifiles.py:69-71)."""
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+    from makani_tpu.utils.yparams import ParamsBase
+    from tests.testutils import init_hdf5_dataset
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = ParamsBase(
+        dict(
+            n_history=0,
+            n_future=0,
+            dt=1,
+            dhours=6,
+            in_channels=[0, 1],
+            out_channels=[0, 1],
+            channel_names=["u10m", "v10m"],
+            crop_size_x=12,
+            crop_size_y=20,
+            crop_anchor_x=2,
+            crop_anchor_y=4,
+            subsampling_factor=2,
+            **paths,
+        )
+    )
+    ds = MultifilesDataset(params, paths["train_data_path"], train=True)
+    assert params["img_shape_x"] == 6 and params["img_shape_y"] == 10
+    s = ds[0]
+    assert s["inp"].shape == (1, 2, 6, 10)
+    assert s["tar"].shape == (1, 2, 6, 10)
+    # cropped read equals slicing the full read
+    params_full = ParamsBase(
+        dict(
+            n_history=0, n_future=0, dt=1, dhours=6, in_channels=[0, 1], out_channels=[0, 1],
+            channel_names=["u10m", "v10m"], **paths,
+        )
+    )
+    ds_full = MultifilesDataset(params_full, paths["train_data_path"], train=True)
+    f = ds_full[0]
+    np.testing.assert_allclose(s["inp"], f["inp"][:, :, 2:14:2, 4:24:2])
