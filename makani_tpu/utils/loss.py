@@ -127,6 +127,12 @@ class LossHandler:
         self.stats_warmup_batches = params.get("loss_stats_warmup_batches", 100)
         self.eps = 1e-6
 
+        # stochastic loss options (ref loss.py:371-399, 476-483); both need a
+        # PRNG key passed to __call__ during training
+        self.random_slice_loss = params.get("random_slice_loss", False)
+        self.randomized_loss_weights = params.get("randomized_loss_weights", False)
+        self.needs_rng = self.random_slice_loss or self.randomized_loss_weights
+
         bias, scale = (None, None)
         try:
             bias, scale = get_data_normalization(params)
@@ -241,11 +247,22 @@ class LossHandler:
             scaled = chw / (stats["mean"] + self.eps)
         return jnp.where(active, scaled, chw)
 
-    def __call__(self, prd, tar, wgt=None, inp=None, train: bool = True, stats=None):
+    def __call__(self, prd, tar, wgt=None, inp=None, train: bool = True, stats=None, key=None):
         """prd: (B, (n_future+1)*C, H, W) or (B, E, C, H, W); tar matches.
 
         When ``stats`` (from init_stats) is passed, returns ``(loss,
-        new_stats)`` and applies the configured dynamic weighting."""
+        new_stats)`` and applies the configured dynamic weighting. ``key`` is
+        required when random_slice_loss / randomized_loss_weights are on."""
+        if train and self.random_slice_loss and key is not None:
+            # score random channel mixtures instead of raw channels: a random
+            # unit-row matrix applied as a 1x1 conv (ref loss.py:371-399)
+            key, sub = jax.random.split(key)
+            C = prd.shape[-3]
+            rslice = jax.random.normal(sub, (C, C), prd.dtype)
+            rslice = rslice / jnp.linalg.norm(rslice, axis=1, keepdims=True)
+            mix = lambda x: jnp.einsum("oc,...chw->...ohw", rslice, x)
+            prd, tar = mix(prd), mix(tar)
+
         # ensemble mean for deterministic losses
         if prd.ndim == 5:
             prdm = jnp.mean(prd, axis=1)
@@ -279,6 +296,11 @@ class LossHandler:
             # eval rollouts may score a single step
             reps = all_losses.shape[-1] // chw.shape[-1]
             chw = jnp.tile(chw, (1, reps)) / reps
+
+        if train and self.randomized_loss_weights and key is not None:
+            key, sub = jax.random.split(key)
+            rmask = jax.random.uniform(sub, chw.shape, chw.dtype)
+            chw = chw * rmask / rmask.sum()
 
         new_stats = None
         if stats is not None and self.track_running_stats:

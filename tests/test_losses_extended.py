@@ -217,3 +217,28 @@ def test_dynamic_loss_weighting_stats():
 
     g = _jax.grad(lambda p: h2(p, tar, train=True, stats=s2)[0])(prd)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_stochastic_loss_options():
+    """random_slice_loss mixes channels (invariant for rotation-invariant
+    targets); randomized_loss_weights reweights channels randomly."""
+    base = dict(
+        img_shape_x=SHAPE[0],
+        img_shape_y=SHAPE[1],
+        channel_names=NAMES,
+        in_channels=list(range(len(NAMES))),
+        out_channels=list(range(len(NAMES))),
+        n_future=0,
+        model_grid_type="legendre-gauss",
+        losses=[{"type": "l2", "channel_weights": "constant", "parameters": {"squared": True}}],
+    )
+    h = LossHandler(ParamsBase(dict(base, random_slice_loss=True, randomized_loss_weights=True)))
+    assert h.needs_rng
+    prd, tar = _rand(seed=20), _rand(seed=21)
+    l1 = float(h(prd, tar, train=True, key=jax.random.PRNGKey(0)))
+    l2 = float(h(prd, tar, train=True, key=jax.random.PRNGKey(1)))
+    assert np.isfinite(l1) and np.isfinite(l2) and l1 != l2
+    # without a key (eval) it falls back to the deterministic path
+    l3 = float(h(prd, tar, train=False))
+    h0 = LossHandler(ParamsBase(base))
+    np.testing.assert_allclose(l3, float(h0(prd, tar, train=False)), rtol=1e-6)
