@@ -26,12 +26,14 @@ import numpy as np
 
 
 def main():
-    # transform GEMMs at TF32-equivalent fidelity (bf16x3) — matches the
-    # precision the reference's A100 cuBLAS TF32 path actually computes at;
-    # override with MAKANI_TRANSFORM_PRECISION=highest for exact fp32
+    # transform GEMMs in bf16 with fp32 accumulation — the same arithmetic the
+    # reference's headline bf16-AMP recipe performs (README.md:56-58: torch
+    # autocast bf16 puts the torch-harmonics SHT einsums on A100 bf16 tensor
+    # cores with fp32 accumulate). MAKANI_TRANSFORM_PRECISION=high gives
+    # TF32-equivalent (bf16x3), =highest exact fp32.
     from makani_tpu.ops.precision import set_transform_precision
 
-    set_transform_precision(os.environ.get("MAKANI_TRANSFORM_PRECISION", "high"))
+    set_transform_precision(os.environ.get("MAKANI_TRANSFORM_PRECISION", "default"))
 
     import jax
     import jax.numpy as jnp
