@@ -31,7 +31,13 @@ __all__ = ["LossHandler", "LOSS_REGISTRY"]
 def _make_registry():
     from makani_tpu.utils.losses.amse_loss import SpectralAMSELoss
     from makani_tpu.utils.losses.crps_loss import CRPSLoss, SpectralCRPSLoss
-    from makani_tpu.utils.losses.energy_score import LpEnergyScoreLoss, SobolevEnergyScoreLoss, SpectralL2EnergyScoreLoss
+    from makani_tpu.utils.losses.energy_score import (
+        CorrectedSpectralL2EnergyScoreLoss,
+        LpEnergyScoreLoss,
+        SobolevEnergyScoreLoss,
+        SpectralCoherenceLoss,
+        SpectralL2EnergyScoreLoss,
+    )
     from makani_tpu.utils.losses.gradient_losses import GradientCRPSLoss, VortDivCRPSLoss
     from makani_tpu.utils.losses.hydrostatic_loss import HydrostaticBalanceLoss
     from makani_tpu.utils.losses.likelihood_loss import EnsembleNLLLoss
@@ -67,6 +73,8 @@ def _make_registry():
         "l2_energy_score": lambda **kw: LpEnergyScoreLoss(p=2.0, **kw),
         "sobolev_energy_score": lambda **kw: SobolevEnergyScoreLoss(**kw),
         "spectral_l2_energy_score": lambda **kw: SpectralL2EnergyScoreLoss(**kw),
+        "spectral_coherence": lambda **kw: SpectralCoherenceLoss(**kw),
+        "corrected_spectral_l2_energy_score": lambda **kw: CorrectedSpectralL2EnergyScoreLoss(**kw),
         # regularizers
         "drift_regularization": lambda **kw: DriftRegularization(**kw),
         "spectral_regularization": lambda **kw: SpectralRegularization(**kw),

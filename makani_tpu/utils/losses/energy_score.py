@@ -29,7 +29,14 @@ import jax.numpy as jnp
 
 from .base_loss import GeometricBaseLoss, LossType, SpectralBaseLoss
 
-__all__ = ["EnergyScoreLoss", "LpEnergyScoreLoss", "SobolevEnergyScoreLoss", "SpectralL2EnergyScoreLoss"]
+__all__ = [
+    "EnergyScoreLoss",
+    "LpEnergyScoreLoss",
+    "SobolevEnergyScoreLoss",
+    "SpectralL2EnergyScoreLoss",
+    "SpectralCoherenceLoss",
+    "CorrectedSpectralL2EnergyScoreLoss",
+]
 
 
 def _safe_frac_pow(x, expo, eps):
@@ -178,3 +185,129 @@ class SpectralL2EnergyScoreLoss(SobolevEnergyScoreLoss):
     def __init__(self, *args, **kwargs):
         kwargs.update(fraction=0.0, offset=1.0)
         super().__init__(*args, **kwargs)
+
+
+class SpectralCoherenceLoss(SpectralBaseLoss):
+    """Per-degree PSD + phase-coherence decomposition of the spectral energy
+    score (ref energy_score.py:655-855):
+
+        loss_l = (PSD_f - PSD_y)^2 [/ PSD_y if relative]
+                 + 2 [PSD_y] (coh_skill_l - 0.5 coh_spread_l)
+
+    where coh_skill = mean_e (1 - Coh(f_e, y)) and coh_spread the pairwise
+    inter-member decoherence, summed over l. Separating amplitude and phase
+    prevents "cheap spread" from inflated decorrelated power.
+    """
+
+    type = LossType.Probabilistic
+
+    def __init__(self, img_shape, channel_names=(), grid_type="equiangular", lmax=None, relative: bool = False, channel_reduction: bool = True, eps: float = 1e-6, **kwargs):
+        super().__init__(img_shape, channel_names, grid_type, lmax=lmax)
+        self.relative = relative
+        self.channel_reduction = channel_reduction
+        self.eps = eps
+
+    @property
+    def n_channels(self):
+        return 1 if self.channel_reduction else len(self.channel_names)
+
+    def _sht_norm(self, x):
+        c2 = self.sht.analysis(x.astype(jnp.float32)) / np.sqrt(4.0 * np.pi)
+        return c2
+
+    def __call__(self, forecasts, observations, wgt=None, **kwargs):
+        if forecasts.ndim != 5:
+            raise ValueError(f"forecasts must be 5D (B, E, C, H, W), got {forecasts.ndim}D")
+        B, E = forecasts.shape[:2]
+        f2 = self._sht_norm(forecasts.reshape(B * E, *forecasts.shape[2:]))
+        f2 = f2.reshape(B, E, *f2.shape[1:])  # (B, E, C, L, M, 2)
+        y2 = self._sht_norm(observations)[:, None]
+
+        mw = jnp.asarray(self.mode_weights)
+        psd_f = jnp.sum(mw * (jnp.square(f2[..., 0]) + jnp.square(f2[..., 1])), axis=-1)  # (B, E, C, L)
+        psd_y = jnp.sum(mw * (jnp.square(y2[..., 0]) + jnp.square(y2[..., 1])), axis=-1)  # (B, 1, C, L)
+        cross_y = jnp.sum(mw * (f2[..., 0] * y2[..., 0] + f2[..., 1] * y2[..., 1]), axis=-1)
+        coh_y = cross_y / jnp.sqrt(psd_f * psd_y + self.eps)
+
+        psd_skill = jnp.square(psd_f - psd_y)
+        if self.relative:
+            psd_skill = psd_skill / (psd_y + self.eps)
+        psd_skill = jnp.mean(psd_skill, axis=1)  # (B, C, L)
+        coh_skill = jnp.mean(1.0 - coh_y, axis=1)
+
+        if E > 1:
+            cross_ee = jnp.sum(
+                mw[None] * (f2[:, :, None, ..., 0] * f2[:, None, :, ..., 0] + f2[:, :, None, ..., 1] * f2[:, None, :, ..., 1]),
+                axis=-1,
+            )
+            coh_ee = cross_ee / jnp.sqrt(psd_f[:, :, None] * psd_f[:, None, :] + self.eps)
+            eye = jnp.eye(E, dtype=bool)[None, :, :, None, None]
+            coh_spread = jnp.sum(jnp.where(eye, 0.0, 1.0 - coh_ee), axis=(1, 2)) / float(E * (E - 1))
+        else:
+            coh_spread = jnp.zeros_like(coh_skill)
+
+        phase = coh_skill - 0.5 * coh_spread
+        loss = psd_skill + 2.0 * (phase if self.relative else psd_y[:, 0] * phase)
+        loss = jnp.sum(loss, axis=-1)  # over l
+        if self.channel_reduction:
+            loss = jnp.sum(loss, axis=-1, keepdims=True)
+        return loss.reshape(B, -1)
+
+
+class CorrectedSpectralL2EnergyScoreLoss(SpectralBaseLoss):
+    """Spectral L2 energy score with the spread term rescaled by the truth
+    PSD (ref energy_score.py:859-1022 "Option 2"): the standard spread reward
+    P_k (1 - coherence) is replaced by P_k* (1 - coherence), bounding it by
+    the true signal level so inflating power + decorrelating phases no longer
+    lowers the score."""
+
+    type = LossType.Probabilistic
+
+    def __init__(self, img_shape, channel_names=(), grid_type="equiangular", lmax=None, alpha: float = 1.0, beta: float = 1.0, channel_reduction: bool = True, eps: float = 1e-6, **kwargs):
+        super().__init__(img_shape, channel_names, grid_type, lmax=lmax)
+        self.alpha = alpha
+        self.beta = beta
+        self.channel_reduction = channel_reduction
+        self.eps = eps
+        self.lm_weights = (self.mode_weights[0, 0] / (4.0 * np.pi)).astype(np.float32)
+
+    @property
+    def n_channels(self):
+        return 1 if self.channel_reduction else len(self.channel_names)
+
+    def _wsum(self, c2):
+        """|coeff|^2, mode-weighted, summed over m: (..., C, L)."""
+        spec2 = jnp.square(c2[..., 0]) + jnp.square(c2[..., 1])
+        return jnp.sum(spec2 * jnp.asarray(self.lm_weights), axis=-1)
+
+    def __call__(self, forecasts, observations, wgt=None, **kwargs):
+        if forecasts.ndim != 5:
+            raise ValueError(f"forecasts must be 5D (B, E, C, H, W), got {forecasts.ndim}D")
+        B, E = forecasts.shape[:2]
+        f2 = self.sht.analysis(forecasts.reshape(B * E, *forecasts.shape[2:]).astype(jnp.float32))
+        f2 = f2.reshape(B, E, *f2.shape[1:])
+        y2 = self.sht.analysis(observations.astype(jnp.float32))[:, None]
+
+        psd_pred = jnp.mean(self._wsum(f2), axis=1)  # (B, C, L)
+        psd_true = self._wsum(y2)[:, 0]
+
+        def norm_beta(d2):
+            red = jnp.sum(self._wsum(d2), axis=-1)  # over l -> (..., C)
+            if self.channel_reduction:
+                red = jnp.sum(red, axis=-1, keepdims=True)
+            return _safe_frac_pow(red, 0.5 * self.beta, self.eps)
+
+        skill = jnp.mean(norm_beta(f2 - y2), axis=1)
+        if E > 1:
+            iu, ju = np.triu_indices(E, k=1)
+            pair = norm_beta(f2[:, iu] - f2[:, ju])
+            spread = _fair_spread_sum(jnp.sum(pair, axis=1), E, self.alpha)
+        else:
+            spread = jnp.zeros_like(skill)
+
+        # PSD-cap correction: rescale the spread term by truth/pred power
+        scale = jnp.sum(psd_true, axis=-1) / (jnp.sum(psd_pred, axis=-1) + self.eps)
+        scale = jnp.minimum(scale, 1.0)
+        if self.channel_reduction:
+            scale = jnp.mean(scale, axis=-1, keepdims=True)
+        return (skill - 0.5 * spread * scale).reshape(B, -1)

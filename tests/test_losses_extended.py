@@ -242,3 +242,18 @@ def test_stochastic_loss_options():
     l3 = float(h(prd, tar, train=False))
     h0 = LossHandler(ParamsBase(base))
     np.testing.assert_allclose(l3, float(h0(prd, tar, train=False)), rtol=1e-6)
+
+
+def test_coherence_and_corrected_energy_scores():
+    for key in ["spectral_coherence", "corrected_spectral_l2_energy_score"]:
+        fn = LOSS_REGISTRY[key](**KW)
+        fc, obs = _rand_ens(seed=30), _rand(seed=31)
+        out = np.asarray(fn(fc, obs))
+        assert out.shape == (2, 1), key  # channel_reduction default
+        assert np.isfinite(out).all(), key
+        # perfect collapsed ensemble ~ 0
+        perfect = jnp.broadcast_to(obs[:, None], fc.shape)
+        assert np.abs(np.asarray(fn(perfect, obs))).max() < 1e-2, key
+        # per-channel mode
+        fnc = LOSS_REGISTRY[key](**KW, channel_reduction=False)
+        assert np.asarray(fnc(fc, obs)).shape == (2, len(NAMES)), key
