@@ -106,3 +106,47 @@ def test_visualize(tmp_path):
 
     ws = windspeed(rng.randn(4, 3, 8, 8), ["u10m", "v10m", "t2m"])
     assert ws.shape == (4, 8, 8) and (ws >= 0).all()
+
+
+def test_concatenate_virtual_dataset(tmp_path):
+    import json
+
+    from data_process.concatenate_dataset import concatenate
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    arrs = {}
+    for year, n in [(2000, 8), (2001, 12)]:
+        a = rng.randn(n, 2, 4, 8).astype(np.float32)
+        arrs[year] = a
+        with h5py.File(d / f"{year}.h5", "w") as f:
+            f.create_dataset("fields", data=a)
+    out = tmp_path / "all.h5"
+    meta = {"dhours": 6, "coords": {"channel": ["a", "b"]}}
+    concatenate([str(d)], str(out), meta, [["a", "b"]], ["2000.h5", "2001.h5"], [2000, 2001], dhoursrel=2)
+    with h5py.File(out) as f:
+        assert f["fields"].shape == (10, 2, 4, 8)  # 4 + 6 kept
+        np.testing.assert_allclose(f["fields"][:4], arrs[2000][::2])
+        np.testing.assert_allclose(f["fields"][4:], arrs[2001][::2])
+        ts = np.asarray(f["timestamp"])
+        assert (np.diff(ts[:4]) == 12 * 3600).all()
+
+
+def test_postprocess_stats(tmp_path):
+    import json
+
+    from data_process.postprocess_stats import postprocess
+
+    inp = tmp_path / "in"
+    outp = tmp_path / "out"
+    inp.mkdir()
+    np.save(inp / "mins.npy", np.full((1, 3, 1, 1), -0.5, np.float32))
+    np.save(inp / "global_stds.npy", np.asarray([1e-9, 1.0, 2.0], np.float32).reshape(1, 3, 1, 1))
+    meta = tmp_path / "data.json"
+    meta.write_text(json.dumps({"coords": {"channel": ["q700", "t2m", "tcwv"]}}))
+    postprocess(str(meta), str(inp), str(outp))
+    mins = np.load(outp / "mins.npy")
+    assert mins[0, 0, 0, 0] == 0.0 and mins[0, 2, 0, 0] == 0.0 and mins[0, 1, 0, 0] == -0.5
+    stds = np.load(outp / "global_stds.npy")
+    assert stds.min() >= 1e-4
