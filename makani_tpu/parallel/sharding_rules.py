@@ -76,6 +76,14 @@ def _spec_for(path: str, leaf) -> P:
     if "attn" in parts and "proj" in parts and "kernel" in parts:
         return axis_spec(nd - 2, "matmul")
 
+    # patch embedding: embed features column-parallel (the reference's
+    # DistributedPatchEmbed, mpu/layers.py); GSPMD gathers where consumers
+    # need the full channel dim
+    if "patch_embed" in parts and "kernel" in parts:
+        return axis_spec(nd - 1, "matmul")
+    if "patch_embed" in parts and "bias" in parts:
+        return axis_spec(nd - 1, "matmul")
+
     return P()
 
 
