@@ -150,3 +150,31 @@ def test_postprocess_stats(tmp_path):
     assert mins[0, 0, 0, 0] == 0.0 and mins[0, 2, 0, 0] == 0.0 and mins[0, 1, 0, 0] == -0.5
     stds = np.load(outp / "global_stds.npy")
     assert stds.min() >= 1e-4
+
+
+def test_hydrostatic_balance_climatology(tmp_path):
+    import json
+
+    from data_process.get_hydrostatic_balance import compute_hydrostatic_balance_climatology
+
+    rng = np.random.RandomState(0)
+    names = ["z500", "t500", "z850", "t850"]
+    T, H, W = 6, 4, 8
+    t5 = 230 + 5 * rng.randn(T, H, W)
+    t8 = 270 + 5 * rng.randn(T, H, W)
+    z5 = 50000 + 100 * rng.randn(T, H, W)
+    z8 = z5 - 287.052874247 * 0.5 * (t5 + t8) * np.log(850 / 500)
+    fields = np.stack([z5, t5, z8, t8], axis=1).astype(np.float32)
+    d = tmp_path / "data"
+    d.mkdir()
+    with h5py.File(d / "2000.h5", "w") as f:
+        f.create_dataset("fields", data=fields)
+    meta = tmp_path / "data.json"
+    meta.write_text(json.dumps({"coords": {"channel": names}}))
+
+    mean, std = compute_hydrostatic_balance_climatology(str(d), str(tmp_path / "out"), str(meta))
+    # balanced data: residual ~ 0 (catastrophic cancellation leaves fp32 noise)
+    assert abs(mean[0]) < 1.0 and std[0] < 1.0
+    assert (tmp_path / "out" / "hydrostatic_balance_means.npy").exists()
+    press = np.load(tmp_path / "out" / "hydrostatic_balance_pressures.npy")
+    np.testing.assert_allclose(press, [500, 850])
