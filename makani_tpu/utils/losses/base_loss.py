@@ -27,6 +27,38 @@ class LossType:
     Probabilistic = 2
 
 
+def compute_alpha_per_step(
+    n_future: int,
+    schedule: str = "linear",
+    alpha_min: float = 0.0,
+    alpha_max: float = 1.0,
+    training_progress: Optional[float] = None,
+    annealing: str = "quadratic",
+    sigmoid_t0_frac: Optional[float] = None,
+    sigmoid_beta: float = 5.0,
+) -> np.ndarray:
+    """Per-lead-step spread weight alpha for tempered energy scores
+    (ref base_loss.py:249-288): late rollout steps get more spread reward,
+    optionally annealed in by training progress."""
+    n_steps = n_future + 1
+    k = np.arange(n_steps, dtype=np.float32)
+    if schedule == "linear":
+        if n_steps <= 1:
+            alpha = np.full((n_steps,), alpha_max, np.float32)
+        else:
+            alpha = alpha_min + (alpha_max - alpha_min) * (k / (n_steps - 1))
+    elif schedule == "sigmoid":
+        t0 = sigmoid_t0_frac if sigmoid_t0_frac is not None else 0.5
+        t_norm = k / max(n_steps - 1, 1) - t0
+        alpha = alpha_max / (1.0 + np.exp(-sigmoid_beta * t_norm))
+    else:
+        alpha = np.full((n_steps,), alpha_max, np.float32)
+    if training_progress is not None:
+        g = training_progress**2 if annealing == "quadratic" else training_progress
+        alpha = alpha * g
+    return alpha.astype(np.float32)
+
+
 def _pangu_weight(name: str) -> float:
     """Per-variable weights from the Pangu-Weather paper (rule-based)."""
     table = {"u10m": 0.77, "v10m": 0.66, "t2m": 3.0, "msl": 1.5}
