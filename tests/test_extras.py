@@ -191,3 +191,16 @@ def test_count_parameters():
 
     tree = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(5)}}
     assert count_parameters(tree) == 17
+
+
+def test_visualization_wrapper(tmp_path):
+    import os
+
+    from makani_tpu.utils.visualize import VisualizationWrapper
+
+    vw = VisualizationWrapper(str(tmp_path), ["u10m", "v10m"])
+    rng = np.random.RandomState(0)
+    vw.add_comparison(rng.randn(2, 8, 16), rng.randn(2, 8, 16), "u10m", tag="t")
+    vw.add_video(rng.randn(3, 2, 8, 16), "v10m")
+    out = vw.finalize()
+    assert len(out) == 2 and all(os.path.isfile(p) for p in out)
