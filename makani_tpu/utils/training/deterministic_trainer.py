@@ -243,6 +243,18 @@ class Trainer:
     def train(self):
         max_epochs = self.params.get("max_epochs", 1)
         all_logs = []
+
+        exp_logger = None
+        if self.world_rank == 0 and self.params.get("exp_dir"):
+            from makani_tpu.utils.logging_utils import ExperimentLogger
+
+            exp_logger = ExperimentLogger(
+                self.params.get("exp_dir"),
+                config=self.params.to_dict() if hasattr(self.params, "to_dict") else None,
+                log_to_wandb=self.params.get("log_to_wandb", False),
+                name=self.params.get("run_name"),
+            )
+
         while self.epoch < max_epochs:
             self.epoch += 1
             train_logs = self.train_one_epoch()
@@ -255,6 +267,8 @@ class Trainer:
                     f"valid_loss={logs['valid_loss']:.5f} "
                     f"samples/s={logs['train_samples_per_sec']:.2f}"
                 )
+            if exp_logger is not None:
+                exp_logger.log(logs, step=self.epoch)
             is_best = logs["valid_loss"] < self.best_valid_loss
             if is_best:
                 self.best_valid_loss = logs["valid_loss"]
