@@ -81,10 +81,25 @@ def main():
     logging.basicConfig(level=logging.INFO)
     params = build_params(args)
 
+    if getattr(args, "enable_grad_anomaly_detection", False):
+        # fail fast on the first NaN anywhere in a jit computation
+        # (ref train.py:91-92 torch.autograd.set_detect_anomaly)
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     from makani_tpu.utils.training.deterministic_trainer import Trainer
 
     trainer = Trainer(params)
-    trainer.train()
+
+    trace_dir = getattr(args, "capture_trace_dir", None)
+    if trace_dir:
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            trainer.train()
+    else:
+        trainer.train()
 
 
 if __name__ == "__main__":

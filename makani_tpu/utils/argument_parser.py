@@ -46,4 +46,9 @@ def get_default_argument_parser() -> argparse.ArgumentParser:
     parser.add_argument("--capture_range_start", type=int, default=1)
     parser.add_argument("--capture_range_stop", type=int, default=2)
     parser.add_argument("--capture_trace_dir", type=str, default=None, help="jax.profiler trace output dir")
+    parser.add_argument(
+        "--enable_grad_anomaly_detection",
+        action="store_true",
+        help="abort on NaN in any jit computation (jax_debug_nans; ref train.py:91-92 torch anomaly mode)",
+    )
     return parser

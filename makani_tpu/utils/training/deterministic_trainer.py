@@ -195,7 +195,9 @@ class Trainer:
         t0 = time.time()
         n_samples = 0
         losses = []
+        io_bytes = 0
         for batch in self.train_loader:
+            io_bytes += sum(int(np.prod(v.shape)) * 4 for v in batch.values())
             inp, tar, zen = self._put_batch(batch)
             if self.loss_stats is not None:
                 loss, self.opt_state, self.model_params, self.loss_stats = self._train_step_stats(
@@ -213,6 +215,8 @@ class Trainer:
             "train_samples_per_sec": n_samples / dt,
             "train_time": dt,
             "step_time_ms": 1000.0 * dt / max(1, len(losses)),
+            # effective host->device IO rate (ref deterministic_trainer.py:465-474)
+            "effective_io_rate_gbs": io_bytes / dt / 1e9,
         }
 
     def validate_one_epoch(self):
