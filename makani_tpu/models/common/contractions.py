@@ -28,6 +28,11 @@ def cmul_einsum_s(eq: str, a2: jnp.ndarray, b2: jnp.ndarray, precision=None) -> 
 
     ``eq`` is the einsum over the logical (pair-less) axes.
     """
+    # keep bf16 activations bf16 through the contraction: fp32 weights would
+    # promote the whole spectral tensor to fp32 (pure HBM traffic; the MXU
+    # rounds operands per the precision policy anyway)
+    if a2.dtype == jnp.bfloat16 and b2.dtype != jnp.bfloat16:
+        b2 = b2.astype(jnp.bfloat16)
     ar, ai = a2[..., 0], a2[..., 1]
     br, bi = b2[..., 0], b2[..., 1]
     rr = jnp.einsum(eq, ar, br, precision=precision)

@@ -113,9 +113,14 @@ class SpectralConv(nn.Module):
         dtype = x.dtype
         residual = x
 
-        # --- forward transform in fp32, split-complex throughout (no complex
-        # dtype on device; the axon TPU backend has none)
-        xc2 = self.forward_transform.analysis(x.astype(jnp.float32))
+        # --- forward transform split-complex throughout (no complex dtype on
+        # device; the axon TPU backend has none). Transform IO dtype follows
+        # the precision policy: bf16 in DEFAULT mode (the MXU rounds operands
+        # to bf16 regardless; fp32 IO would only double full-res HBM traffic),
+        # fp32 for the multi-pass HIGH/HIGHEST modes.
+        from makani_tpu.ops.precision import transform_io_dtype
+
+        xc2 = self.forward_transform.analysis(x.astype(transform_io_dtype()))
         if scale_residual:
             residual = self.inverse_transform.synthesis(xc2).astype(dtype)
 

@@ -398,7 +398,9 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
         # big skip at the output resolution
         if self.big_skip:
             if self.out_shape != self.inp_shape:
-                residual = self.itrans_up.synthesis(self.trans_down.analysis(x.astype(jnp.float32))).astype(x.dtype)
+                from makani_tpu.ops.precision import transform_io_dtype
+
+                residual = self.itrans_up.synthesis(self.trans_down.analysis(x.astype(transform_io_dtype()))).astype(x.dtype)
             else:
                 residual = x
 

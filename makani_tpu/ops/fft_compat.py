@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .precision import transform_precision
+from .precision import maybe_cast_table, transform_precision
 
 __all__ = ["rfft", "irfft", "fft", "ifft", "rfft2", "irfft2", "use_matmul_fft"]
 
@@ -76,6 +76,7 @@ def rfft_s(x, n=None, axis=-1, norm=None):
         else:
             xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - xm.shape[-1])])
     c, s = _rdft_mats(n)
+    c, s = maybe_cast_table(c, xm), maybe_cast_table(s, xm)
     f = _norm_factor(n, norm, inverse=False)
     re = jnp.einsum("...k,km->...m", xm, c, precision=transform_precision()) * f
     im = jnp.einsum("...k,km->...m", xm, s, precision=transform_precision()) * f
@@ -101,6 +102,7 @@ def irfft_s(x2, n=None, axis=-1, norm=None):
         else:
             xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 2) + [(0, n_half - m), (0, 0)])
     c, s = _irdft_mats(n)
+    c, s = maybe_cast_table(c, x2), maybe_cast_table(s, x2)
     f = _norm_factor(n, norm, inverse=True)
     out = (
         jnp.einsum("...m,mk->...k", xm[..., 0], c, precision=transform_precision())

@@ -36,3 +36,28 @@ def set_transform_precision(name: str):
 
 def transform_precision():
     return _PRECISIONS[_current]
+
+
+def transform_io_dtype():
+    """Dtype the model should feed the spectral transforms.
+
+    In DEFAULT (single-bf16-pass) mode the MXU rounds every operand to bf16
+    anyway, so upcasting activations to fp32 around the transforms only
+    doubles the HBM traffic of the full-resolution stages — keep them bf16.
+    HIGH/HIGHEST genuinely consume fp32 operands (multi-pass splitting), so
+    the upcast stays."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if _current == "default" else jnp.float32
+
+
+def maybe_cast_table(table, x):
+    """Cast an fp32 transform table to the activation dtype for bf16 inputs,
+    so table einsums stay bf16-in/bf16-out instead of promoting everything to
+    fp32 (pure traffic: in DEFAULT mode the MXU rounds operands to bf16
+    regardless, and accumulation is fp32 either way)."""
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.bfloat16:
+        return jnp.asarray(table, jnp.bfloat16)
+    return jnp.asarray(table)

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .precision import transform_precision
+from .precision import maybe_cast_table, transform_precision
 
 from . import fft_compat
 from .legendre import precompute_legpoly
@@ -43,12 +43,12 @@ __all__ = ["RealSHT", "InverseRealSHT"]
 
 def _analysis_contract_s(xf2: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """split (..., nlat, mmax, 2) x (mmax, lmax, nlat) -> split (..., lmax, mmax, 2)."""
-    return jnp.einsum("...kmr,mlk->...lmr", xf2, weights, precision=transform_precision())
+    return jnp.einsum("...kmr,mlk->...lmr", xf2, maybe_cast_table(weights, xf2), precision=transform_precision())
 
 
 def _synthesis_contract_s(c2: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
     """split (..., lmax, mmax, 2) x (mmax, lmax, nlat) -> split (..., nlat, mmax, 2)."""
-    return jnp.einsum("...lmr,mlk->...kmr", c2, pct, precision=transform_precision())
+    return jnp.einsum("...lmr,mlk->...kmr", c2, maybe_cast_table(pct, c2), precision=transform_precision())
 
 
 class RealSHT:

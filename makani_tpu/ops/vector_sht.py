@@ -42,11 +42,15 @@ __all__ = ["RealVectorSHT", "InverseRealVectorSHT"]
 
 
 def _contract_analysis(xf2, table):
-    return jnp.einsum("...kmr,mlk->...lmr", xf2, table, precision=transform_precision())
+    from .precision import maybe_cast_table
+
+    return jnp.einsum("...kmr,mlk->...lmr", xf2, maybe_cast_table(table, xf2), precision=transform_precision())
 
 
 def _contract_synthesis(c2, table):
-    return jnp.einsum("...lmr,mlk->...kmr", c2, table, precision=transform_precision())
+    from .precision import maybe_cast_table
+
+    return jnp.einsum("...lmr,mlk->...kmr", c2, maybe_cast_table(table, c2), precision=transform_precision())
 
 
 def _mul_i(z2):
