@@ -73,6 +73,19 @@ def get_optimizer(params, model_params, steps_per_epoch: int = 1):
         base = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_no_decay_mask(model_params))
     elif opt_type == "SGD":
         base = optax.sgd(schedule, momentum=params.get("optimizer_momentum", 0.0), nesterov=params.get("optimizer_nesterov", False))
+    elif opt_type in ("Muon", "SIRFShampoo"):
+        # second-order-preconditioned option (the reference exposes
+        # SIRFShampoo, driver.py:702-754); Muon orthogonalizes the momentum of
+        # matrix-shaped weights on the MXU and falls back to adam elsewhere —
+        # the TPU-idiomatic equivalent
+        base = optax.contrib.muon(
+            schedule,
+            beta=params.get("optimizer_beta1", 0.95),
+            adam_b1=beta1,
+            adam_b2=beta2,
+            eps=eps,
+            weight_decay=wd,
+        )
     else:
         raise ValueError(f"optimizer {opt_type} not supported")
 
