@@ -81,8 +81,10 @@ class Trainer:
         from makani_tpu.models.preprocessor import get_unpredicted_channels
 
         n_dyn = get_unpredicted_channels(params)
-        dummy_inp = jnp.zeros((1, n_in_flat, H, W), jnp.float32)
-        dummy_zen = jnp.zeros((1, zen_len, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
+        # init batch must be shardable over the mesh's data axes
+        b0 = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+        dummy_inp = jnp.zeros((b0, n_in_flat, H, W), jnp.float32)
+        dummy_zen = jnp.zeros((b0, zen_len, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
 
         init_rng = jax.random.PRNGKey(params.get("seed", 333))
         self.model_params = self.model.init(init_rng, dummy_inp, dummy_zen)

@@ -130,3 +130,30 @@ def test_dryrun_multichip_entry():
     ge.dryrun_multichip(8)
     pmesh.cleanup()
     ge.dryrun_multichip(4)
+
+
+def test_checkpoint_restore_across_mesh_layouts(tmp_path):
+    """The reference's 'flexible' checkpoints restore into ANY model-parallel
+    layout (SURVEY section 5); orbax + shardings give this natively: train on
+    an h2w2 spatial mesh, resume on a matmul4 tensor-parallel mesh."""
+    import jax
+
+    from makani_tpu.parallel import mesh as pmesh
+    from makani_tpu.utils.training.deterministic_trainer import Trainer
+
+    params = make_params(tmp_path, max_epochs=1, batch_size=2, h_parallel_size=2, w_parallel_size=2)
+    t = Trainer(params)
+    t.train()
+    p_trained = jax.tree.map(np.asarray, t.model_params)
+    pmesh.cleanup()
+
+    params2 = make_params(
+        tmp_path, max_epochs=2, batch_size=2, parameters_split_size=4, resuming=True
+    )
+    t2 = Trainer(params2)
+    assert t2.epoch == 1
+    for a, b in zip(jax.tree.leaves(p_trained), jax.tree.leaves(t2.model_params)):
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-6)
+    logs = t2.train()
+    assert np.isfinite(logs[-1]["train_loss"])
+    pmesh.cleanup()
