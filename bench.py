@@ -50,7 +50,7 @@ def main():
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     steps = int(os.environ.get("BENCH_STEPS", 8))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
-    # remat level (0 = none); B=4 at 361x720 needs >=3 to fit in 16GB HBM
+    # remat level 0-3 (enc/dec, +MLPs, +blocks; ref sfnonet.py:857-926)
     ckpt = int(os.environ.get("BENCH_CHECKPOINTING", 0))
 
     names = [f"ch{i}" for i in range(73)]

@@ -210,6 +210,7 @@ class NeuralOperatorBlock(nn.Module):
     spectral_layers: int = 1
     use_bias: bool = False
     final_activation: bool = False
+    checkpointing_level: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -259,7 +260,10 @@ class NeuralOperatorBlock(nn.Module):
             gain_factor /= 2.0
 
         if self.use_mlp:
-            x = MLP(
+            # checkpointing level >= 2 remats the block MLPs (ref
+            # sfnonet.py:899-926 checkpointing granularities)
+            mlp_cls = nn.remat(MLP, static_argnums=(2,)) if self.checkpointing_level >= 2 else MLP
+            x = mlp_cls(
                 hidden_features=int(self.embed_dim * self.mlp_ratio),
                 out_features=self.embed_dim,
                 act_layer=self.act_layer if not is_identity_act else (lambda v: v),
@@ -268,7 +272,7 @@ class NeuralOperatorBlock(nn.Module):
                 gain=gain_factor,
                 dtype=self.dtype,
                 name="mlp",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
 
         if self.norm_layers[1] is not None:
             x = self.norm_layers[1](name="norm1")(x)
@@ -404,10 +408,10 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             else:
                 residual = x
 
-        # checkpointing level >= 4 additionally remats the encoder/decoder
-        # point-wise MLPs (their activations at full spatial resolution are
-        # among the largest live buffers)
-        encdec_cls = nn.remat(EncoderDecoder) if self.checkpointing_level >= 4 else EncoderDecoder
+        # checkpointing granularities follow the reference (sfnonet.py:857-926):
+        # level >= 1 remats the encoder/decoder, >= 2 the block MLPs,
+        # >= 3 whole blocks
+        encdec_cls = nn.remat(EncoderDecoder) if self.checkpointing_level >= 1 else EncoderDecoder
 
         x = encdec_cls(
             num_layers=self.encoder_layers,
@@ -477,6 +481,7 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 complex_activation=self.complex_activation,
                 spectral_layers=self.spectral_layers,
                 use_bias=self.use_bias,
+                checkpointing_level=0 if self.checkpointing_level >= 3 else self.checkpointing_level,
                 dtype=self.dtype,
                 name=f"block{i}",
             )
