@@ -204,3 +204,44 @@ def test_visualization_wrapper(tmp_path):
     vw.add_video(rng.randn(3, 2, 8, 16), "v10m")
     out = vw.finalize()
     assert len(out) == 2 and all(os.path.isfile(p) for p in out)
+
+
+def test_training_helpers(tmp_path):
+    import jax
+
+    from makani_tpu.utils.training.training_helpers import dump_weights_and_grads, memory_usage, total_grad_norm
+
+    p = {"a": {"w": np.ones((2, 2), np.float32)}}
+    g = {"a": {"w": 2 * np.ones((2, 2), np.float32)}}
+    f = dump_weights_and_grads(str(tmp_path), p, g, step=3)
+    data = np.load(f)
+    assert "weights/a/w" in data and "grads/a/w" in data
+    np.testing.assert_allclose(float(total_grad_norm(g)), 4.0)
+    assert isinstance(memory_usage(), dict)
+
+
+def test_experiment_logger(tmp_path):
+    import json
+
+    from makani_tpu.utils.logging_utils import ExperimentLogger
+
+    el = ExperimentLogger(str(tmp_path), config={"lr": 1e-3, "nettype": "SFNO"})
+    el.log({"train_loss": 0.5, "skip_me": object()}, step=1)
+    el.log({"train_loss": 0.4}, step=2)
+    el.finish()
+    rows = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(rows) == 2 and rows[1]["train_loss"] == 0.4 and rows[0]["step"] == 1
+    assert "skip_me" not in rows[0]
+    cfg = json.load(open(tmp_path / "config.json"))
+    assert cfg["nettype"] == "SFNO"
+
+
+def test_alpha_schedules():
+    from makani_tpu.utils.losses.base_loss import compute_alpha_per_step
+
+    a = compute_alpha_per_step(3, schedule="linear", alpha_min=0.0, alpha_max=1.0)
+    np.testing.assert_allclose(a, [0, 1 / 3, 2 / 3, 1.0], atol=1e-6)
+    s = compute_alpha_per_step(3, schedule="sigmoid")
+    assert s.shape == (4,) and (np.diff(s) > 0).all()
+    annealed = compute_alpha_per_step(3, training_progress=0.5, annealing="quadratic")
+    np.testing.assert_allclose(annealed, a * 0.25, atol=1e-6)
