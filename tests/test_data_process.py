@@ -178,3 +178,18 @@ def test_hydrostatic_balance_climatology(tmp_path):
     assert (tmp_path / "out" / "hydrostatic_balance_means.npy").exists()
     press = np.load(tmp_path / "out" / "hydrostatic_balance_pressures.npy")
     np.testing.assert_allclose(press, [500, 850])
+
+
+def test_wb2_convert_gating():
+    """The WB2 zarr CLI imports cleanly and fails with a clear message when
+    xarray/zarr are absent (they are not in the TPU image)."""
+    import data_process.wb2_convert as m
+
+    if m._HAVE_XARRAY:
+        import pytest
+
+        pytest.skip("xarray present; gating not exercised")
+    import pytest
+
+    with pytest.raises(ImportError, match="xarray"):
+        m.wb2_to_makani("store.zarr", "/tmp/out", ["t2m"], [2000])
