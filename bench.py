@@ -10,9 +10,15 @@ model with h=4 spatial model parallelism across four 80GB GPUs per batch
 element (README.md:56-58), so a full-resolution single-chip run does not fit
 on one 16GB chip for either framework. Override with BENCH_NLAT/BENCH_NLON.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` divides by BENCH_BASELINE_SPS (samples/sec; default 1.0 until
-a measured A100 reference exists — BASELINE.md records none published).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus mfu and
+flops_per_sample fields). ``vs_baseline`` divides by BENCH_BASELINE_SPS
+(samples/sec). The reference publishes no throughput numbers (BASELINE.md), so
+the default baseline is a FLOP/byte-roofline estimate of the reference on one
+A100-80GB at this exact config — see BASELINE.md "A100 baseline estimate" for
+the derivation (XLA-measured 4.31 TFLOP + 59.9 GB logical bytes per training
+sample; A100 312 TF/s bf16 / 156 TF/s TF32 for the fp32-forced transforms /
+2.04 TB/s HBM; 40% of the roofline as the achieved fraction typical of eager
+PyTorch+AMP). That lands at 13.6 samples/s/chip.
 """
 
 from __future__ import annotations
@@ -115,16 +121,37 @@ def main():
         loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
     final_loss = float(loss)
     dt = (time.perf_counter() - t0) / steps
-    assert np.isfinite(final_loss), f"non-finite loss {final_loss}" 
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
 
     sps = batch / dt
-    baseline = float(os.environ.get("BENCH_BASELINE_SPS", 1.0))
+
+    # MFU from the XLA-compiled step's own cost analysis (flops per step)
+    flops_per_sample = None
+    mfu = None
+    try:
+        ca = train_step.lower(model_params, opt_state, x, tar, zen).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            flops_per_sample = flops / batch
+            peak = float(os.environ.get("BENCH_PEAK_TFLOPS", 197)) * 1e12  # v5e bf16
+            mfu = sps * flops_per_sample / peak
+    except Exception:
+        pass
+
+    # FLOP/byte-roofline A100-80GB estimate of the reference at this config
+    # (derivation in BASELINE.md); override with BENCH_BASELINE_SPS
+    baseline = float(os.environ.get("BENCH_BASELINE_SPS", 13.6))
     result = {
         "metric": f"SFNO-73ch {nlat}x{nlon} e{embed}L{layers} bf16 train samples/sec/chip",
         "value": round(sps, 4),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / baseline, 4),
     }
+    if mfu is not None:
+        result["mfu"] = round(mfu, 4)
+        result["flops_per_sample"] = flops_per_sample
     print(json.dumps(result))
 
 

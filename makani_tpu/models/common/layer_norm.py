@@ -35,25 +35,33 @@ class InstanceNorm2d(nn.Module):
     eps: float = 1e-6
     affine: bool = True
     nlat_phys: int | None = None
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         xs = x.astype(jnp.float32)
-        if self.nlat_phys is not None and self.nlat_phys < x.shape[-2]:
-            nlat_pad = x.shape[-2]
-            mask = (jnp.arange(nlat_pad) < self.nlat_phys).astype(jnp.float32)[:, None]
-            count = self.nlat_phys * x.shape[-1]
-            mean = jnp.sum(xs * mask, axis=(-2, -1), keepdims=True) / count
-            var = jnp.sum(jnp.square(xs - mean) * mask, axis=(-2, -1), keepdims=True) / count
+        # spatial axes: NCHW -> (-2, -1); NHWC -> (-3, -2)
+        sp = (-3, -2) if self.channels_last else (-2, -1)
+        lat_ax, lon_ax = sp
+        if self.nlat_phys is not None and self.nlat_phys < x.shape[lat_ax]:
+            nlat_pad = x.shape[lat_ax]
+            mask = (jnp.arange(nlat_pad) < self.nlat_phys).astype(jnp.float32)
+            mask = mask[:, None, None] if self.channels_last else mask[:, None]
+            count = self.nlat_phys * x.shape[lon_ax]
+            mean = jnp.sum(xs * mask, axis=sp, keepdims=True) / count
+            var = jnp.sum(jnp.square(xs - mean) * mask, axis=sp, keepdims=True) / count
         else:
-            mean = jnp.mean(xs, axis=(-2, -1), keepdims=True)
-            var = jnp.var(xs, axis=(-2, -1), keepdims=True)
+            mean = jnp.mean(xs, axis=sp, keepdims=True)
+            var = jnp.var(xs, axis=sp, keepdims=True)
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
-            y = y * weight.astype(x.dtype)[None, :, None, None] + bias.astype(x.dtype)[None, :, None, None]
+            if self.channels_last:
+                y = y * weight.astype(x.dtype) + bias.astype(x.dtype)
+            else:
+                y = y * weight.astype(x.dtype)[None, :, None, None] + bias.astype(x.dtype)[None, :, None, None]
         return y
 
 
@@ -68,6 +76,7 @@ class GeometricInstanceNormS2(nn.Module):
     crop_offset: tuple = (0, 0)
     eps: float = 1e-6
     affine: bool = True
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -87,11 +96,18 @@ class GeometricInstanceNormS2(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         xs = x.astype(jnp.float32)
-        mean = self._quad(xs)[..., None, None]
-        var = self._quad(jnp.square(xs - mean))[..., None, None]
+        if self.channels_last:
+            mean = self._quad(xs, channels_last=True)[..., None, None, :]
+            var = self._quad(jnp.square(xs - mean), channels_last=True)[..., None, None, :]
+        else:
+            mean = self._quad(xs)[..., None, None]
+            var = self._quad(jnp.square(xs - mean))[..., None, None]
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
-            y = y * self.weight.astype(x.dtype)[None, :, None, None] + self.bias.astype(x.dtype)[None, :, None, None]
+            if self.channels_last:
+                y = y * self.weight.astype(x.dtype) + self.bias.astype(x.dtype)
+            else:
+                y = y * self.weight.astype(x.dtype)[None, :, None, None] + self.bias.astype(x.dtype)[None, :, None, None]
         return y
 
 
@@ -103,16 +119,21 @@ class ChannelLayerNorm(nn.Module):
     num_features: int
     eps: float = 1e-6
     affine: bool = True
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         xs = x.astype(jnp.float32)
-        mean = jnp.mean(xs, axis=1, keepdims=True)
-        var = jnp.var(xs, axis=1, keepdims=True)
+        ax = -1 if self.channels_last else 1
+        mean = jnp.mean(xs, axis=ax, keepdims=True)
+        var = jnp.var(xs, axis=ax, keepdims=True)
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
-            y = y * weight.astype(x.dtype)[None, :, None, None] + bias.astype(x.dtype)[None, :, None, None]
+            if self.channels_last:
+                y = y * weight.astype(x.dtype) + bias.astype(x.dtype)
+            else:
+                y = y * weight.astype(x.dtype)[None, :, None, None] + bias.astype(x.dtype)[None, :, None, None]
         return y

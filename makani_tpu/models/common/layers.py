@@ -29,32 +29,48 @@ def _normal(std: float):
 
 
 class Conv1x1(nn.Module):
-    """Pointwise channel mixing on NCHW input: x (B,C,H,W) -> (B,O,H,W).
+    """Pointwise channel mixing: x (B,C,H,W) -> (B,O,H,W), or channels-last
+    (B,H,W,C) -> (B,H,W,O).
 
     Equivalent to ``nn.Conv2d(C, O, 1)``; expressed as an einsum so the MXU
-    contraction and layout are explicit. Supports grouped mixing.
+    contraction and layout are explicit. Supports grouped mixing. The input is
+    cast to the compute dtype (the reference's autocast puts these GEMMs on
+    bf16 tensor cores; without the cast a mixed fp32xbf16 einsum silently
+    promotes to an fp32 matmul). Channels-last keeps the contracting channel
+    dim minormost, which XLA consumes without a relayout copy — measured 1.6x
+    faster at 0.25 deg (PERF.md).
     """
 
     features: int
     use_bias: bool = True
     groups: int = 1
     kernel_std: float | None = None  # defaults to He: sqrt(2/fan_in)
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[1]
+        cin = x.shape[-1] if self.channels_last else x.shape[1]
         g = self.groups
         if cin % g != 0 or self.features % g != 0:
             raise ValueError(f"channels ({cin}->{self.features}) not divisible by groups ({g})")
         fan_in = cin // g
         std = self.kernel_std if self.kernel_std is not None else math.sqrt(2.0 / fan_in)
         kernel = self.param("kernel", _normal(std), (g, fan_in, self.features // g), jnp.float32)
+        x = x.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.channels_last:
+            x = x.reshape(*x.shape[:-1], g, fan_in)
+            y = jnp.einsum("...gi,gio->...go", x, kernel.astype(self.dtype))
+            y = y.reshape(*y.shape[:-2], self.features)
+            if self.use_bias:
+                y = y + bias.astype(self.dtype)
+            return y
         x = x.reshape(x.shape[0], g, fan_in, *x.shape[2:])
         y = jnp.einsum("bgihw,gio->bgohw", x, kernel.astype(self.dtype))
         y = y.reshape(y.shape[0], self.features, *y.shape[3:])
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)[None, :, None, None]
         return y
 
@@ -73,18 +89,20 @@ class MLP(nn.Module):
     drop_rate: float = 0.0
     drop_type: str = "iid"
     gain: float = 1.0
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        out_features = self.out_features or x.shape[1]
-        x = Conv1x1(self.hidden_features, use_bias=True, dtype=self.dtype, name="fc1")(x)
+        out_features = self.out_features or (x.shape[-1] if self.channels_last else x.shape[1])
+        x = Conv1x1(self.hidden_features, use_bias=True, channels_last=self.channels_last, dtype=self.dtype, name="fc1")(x)
         x = self.act_layer(x)
         x = self._drop(x, deterministic)
         x = Conv1x1(
             out_features,
             use_bias=self.output_bias,
             kernel_std=math.sqrt(self.gain / self.hidden_features),
+            channels_last=self.channels_last,
             dtype=self.dtype,
             name="fc2",
         )(x)
@@ -98,7 +116,8 @@ class MLP(nn.Module):
             return nn.Dropout(rate=self.drop_rate)(x, deterministic=deterministic)
         if self.drop_type == "features":
             # drop whole channels: broadcast the mask over the spatial dims
-            return nn.Dropout(rate=self.drop_rate, broadcast_dims=(2, 3))(x, deterministic=deterministic)
+            bdims = (1, 2) if self.channels_last else (2, 3)
+            return nn.Dropout(rate=self.drop_rate, broadcast_dims=bdims)(x, deterministic=deterministic)
         raise NotImplementedError(f"Unknown drop_type {self.drop_type}")
 
 
@@ -112,19 +131,23 @@ class EncoderDecoder(nn.Module):
     act_layer: Callable = jax.nn.gelu
     gain: float = 1.0
     groups: int = 1
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
-            x = Conv1x1(self.hidden_dim, use_bias=True, groups=self.groups, dtype=self.dtype, name=f"hidden{i}")(x)
+            x = Conv1x1(
+                self.hidden_dim, use_bias=True, groups=self.groups, channels_last=self.channels_last, dtype=self.dtype, name=f"hidden{i}"
+            )(x)
             x = self.act_layer(x)
-        fan_in = x.shape[1] // self.groups
+        fan_in = (x.shape[-1] if self.channels_last else x.shape[1]) // self.groups
         x = Conv1x1(
             self.output_dim,
             use_bias=False,
             groups=self.groups,
             kernel_std=math.sqrt(self.gain / fan_in),
+            channels_last=self.channels_last,
             dtype=self.dtype,
             name="out",
         )(x)
@@ -153,10 +176,13 @@ class LayerScale(nn.Module):
 
     num_chans: int
     init_value: float = 0.1
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         gamma = self.param("gamma", lambda _k: jnp.full((1, self.num_chans, 1, 1), self.init_value, jnp.float32))
+        if self.channels_last:
+            gamma = gamma.reshape(1, 1, 1, self.num_chans)
         return x * gamma.astype(x.dtype)
 
 

@@ -74,6 +74,7 @@ class SpectralConv(nn.Module):
     separable: bool = False
     use_bias: bool = False
     gain: float = 1.0
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -120,6 +121,24 @@ class SpectralConv(nn.Module):
         # fp32 for the multi-pass HIGH/HIGHEST modes.
         from makani_tpu.ops.precision import transform_io_dtype
 
+        if self.channels_last:
+            # x: (B, H, W, C); spectral layout (B, L, M, C, 2)
+            xc2 = self.forward_transform.analysis_cl(x.astype(transform_io_dtype()))
+            if scale_residual:
+                residual = self.inverse_transform.synthesis_cl(xc2).astype(dtype)
+            B = xc2.shape[0]
+            H, W = xc2.shape[-4], xc2.shape[-3]
+            xg2 = xc2.reshape(B, H, W, g, self.in_channels // g, 2)
+            yg2 = contract_dense_s(
+                xg2, weight, separable=self.separable, operator_type=self.operator_type, channels_last=True
+            )
+            y2 = yg2.reshape(B, H, W, self.out_channels, 2)
+            y = self.inverse_transform.synthesis_cl(y2).astype(dtype)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1), jnp.float32)
+                y = y + bias.reshape(1, 1, 1, self.out_channels).astype(dtype)
+            return y, residual
+
         xc2 = self.forward_transform.analysis(x.astype(transform_io_dtype()))
         if scale_residual:
             residual = self.inverse_transform.synthesis(xc2).astype(dtype)
@@ -155,6 +174,7 @@ class SpectralAttention(nn.Module):
     use_bias: bool = False
     spectral_layers: int = 1
     gain: float = 1.0
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -196,18 +216,27 @@ class SpectralAttention(nn.Module):
 
         dtype = x.dtype
         residual = x
-        xc2 = self.forward_transform.analysis(x.astype(jnp.float32))
-        if scale_residual:
-            residual = self.inverse_transform.synthesis(xc2).astype(dtype)
+        cl = self.channels_last
+        if cl:
+            xc2 = self.forward_transform.analysis_cl(x.astype(jnp.float32))
+            if scale_residual:
+                residual = self.inverse_transform.synthesis_cl(xc2).astype(dtype)
+        else:
+            xc2 = self.forward_transform.analysis(x.astype(jnp.float32))
+            if scale_residual:
+                residual = self.inverse_transform.synthesis(xc2).astype(dtype)
 
         z2 = xc2
         for i in range(self.spectral_layers):
             if self.use_bias:
-                z2 = muladd(z2, ws[i], bs[i])
+                # bias stored (hidden, 1, 1, 2); channels-last broadcasts over
+                # the leading (B, L, M) dims with channels at -2
+                b2 = bs[i].reshape(-1, 2) if cl else bs[i]
+                z2 = muladd(z2, ws[i], b2, channels_last=cl)
             else:
-                z2 = mul(z2, ws[i])
+                z2 = mul(z2, ws[i], channels_last=cl)
             z2 = complex_relu_s(z2, mode=self.complex_activation)
-        z2 = mul(z2, wout)
+        z2 = mul(z2, wout, channels_last=cl)
 
-        y = self.inverse_transform.synthesis(z2).astype(dtype)
+        y = self.inverse_transform.synthesis_cl(z2).astype(dtype) if cl else self.inverse_transform.synthesis(z2).astype(dtype)
         return y, residual

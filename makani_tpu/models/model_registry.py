@@ -132,6 +132,7 @@ def get_model(params, multistep: bool = False):
         "max_modes",
         "hard_thresholding_fraction",
         "big_skip",
+        "channels_last",
         "separable",
         "complex_activation",
         "spectral_layers",

@@ -63,11 +63,24 @@ class RealFFT2:
         self.lmax_low = math.floor(self.lmax / 2)
 
     def analysis(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
-        y = fft_compat.rfft2_s(x, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+        # m-truncation happens inside the lon DFT GEMM (see fft_compat.rfft_s)
+        y = fft_compat.rfft_s(x, n=self.nlon, axis=-1, norm=norm, mout=self.mmax if self.truncate else None)
+        y = fft_compat.fft_s(y, n=self.nlat, axis=-2, norm=norm)
         if self.truncate:
             y = jnp.concatenate(
-                (y[..., : self.lmax_high, : self.mmax, :], y[..., y.shape[-3] - self.lmax_low :, : self.mmax, :]),
+                (y[..., : self.lmax_high, :, :], y[..., y.shape[-3] - self.lmax_low :, :, :]),
                 axis=-3,
+            )
+        return y
+
+    def analysis_cl(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        """Channels-last analysis: (..., H, W, C) -> split (..., lH, mW, C, 2)."""
+        y = fft_compat.rfft_cl_s(x, n=self.nlon, norm=norm, mout=self.mmax if self.truncate else None)
+        y = fft_compat.fft_lat_cl_s(y, n=self.nlat, norm=norm)
+        if self.truncate:
+            y = jnp.concatenate(
+                (y[..., : self.lmax_high, :, :, :], y[..., y.shape[-4] - self.lmax_low :, :, :, :]),
+                axis=-4,
             )
         return y
 
@@ -96,6 +109,17 @@ class InverseRealFFT2:
             pad = [(0, 0)] * (xt.ndim - 3) + [(0, self.nlat - self.lmax), (0, 0), (0, 0)]
             xt = jnp.concatenate([jnp.pad(xth, pad), xtl], axis=-3)
         return fft_compat.irfft2_s(xt, s=(self.nlat, self.nlon), axes=(-2, -1), norm=norm)
+
+    def synthesis_cl(self, x2: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
+        """Channels-last synthesis: split (..., lH, mW, C, 2) -> (..., H, W, C)."""
+        xt = x2[..., : self.mmax, :, :]
+        if self.truncate:
+            xth = xt[..., : self.lmax_high, :, :, :]
+            xtl = xt[..., xt.shape[-4] - self.lmax_low :, :, :, :]
+            pad = [(0, 0)] * (xt.ndim - 4) + [(0, self.nlat - self.lmax), (0, 0), (0, 0), (0, 0)]
+            xt = jnp.concatenate([jnp.pad(xth, pad), xtl], axis=-4)
+        xt = fft_compat.ifft_lat_cl_s(xt, n=self.nlat, norm=norm)
+        return fft_compat.irfft_cl_s(xt, n=self.nlon, norm=norm)
 
     def __call__(self, x: jnp.ndarray, norm: str = "ortho") -> jnp.ndarray:
         return self.synthesis(fft_compat.from_complex(x), norm=norm)

@@ -63,11 +63,18 @@ def _split_axis(x2, axis):
     return axis if axis >= 0 else x2.ndim - 1 + axis
 
 
-def rfft_s(x, n=None, axis=-1, norm=None):
-    """real (..., n) -> split (..., n//2+1, 2) along ``axis``."""
+def rfft_s(x, n=None, axis=-1, norm=None, mout=None):
+    """real (..., n) -> split (..., m, 2) along ``axis``.
+
+    ``mout`` truncates the retained modes inside the DFT GEMM (see rfft_cl_s).
+    """
     n = n or x.shape[axis]
+    m_full = n // 2 + 1
+    mout = min(mout or m_full, m_full)
     if not use_matmul_fft():
         out = from_complex(jnp.fft.rfft(x, n=n, axis=axis, norm=norm))
+        if mout != m_full:
+            out = out[..., :mout, :]
         return out if axis in (-1, x.ndim - 1) else jnp.moveaxis(out, -2, axis)
     xm = _move_last(x, axis)
     if xm.shape[-1] != n:
@@ -76,6 +83,8 @@ def rfft_s(x, n=None, axis=-1, norm=None):
         else:
             xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 1) + [(0, n - xm.shape[-1])])
     c, s = _rdft_mats(n)
+    if mout != m_full:
+        c, s = c[:, :mout], s[:, :mout]
     c, s = maybe_cast_table(c, xm), maybe_cast_table(s, xm)
     f = _norm_factor(n, norm, inverse=False)
     re = jnp.einsum("...k,km->...m", xm, c, precision=transform_precision()) * f
@@ -87,7 +96,11 @@ def rfft_s(x, n=None, axis=-1, norm=None):
 
 
 def irfft_s(x2, n=None, axis=-1, norm=None):
-    """split (..., m, 2) -> real (..., n) along ``axis``."""
+    """split (..., m, 2) -> real (..., n) along ``axis``.
+
+    Truncated inputs (m < n//2+1) use the row-sliced inverse table — exactly
+    zero-padding the spectrum without the larger GEMM.
+    """
     ax = _split_axis(x2, axis)
     xm = jnp.moveaxis(x2, ax, -2) if ax != x2.ndim - 2 else x2
     m = xm.shape[-2]
@@ -96,12 +109,12 @@ def irfft_s(x2, n=None, axis=-1, norm=None):
         out = jnp.fft.irfft(to_complex(xm), n=n, axis=-1, norm=norm)
         return out if axis in (-1, out.ndim - 1) else jnp.moveaxis(out, -1, axis)
     n_half = n // 2 + 1
-    if m != n_half:
-        if m > n_half:
-            xm = xm[..., :n_half, :]
-        else:
-            xm = jnp.pad(xm, [(0, 0)] * (xm.ndim - 2) + [(0, n_half - m), (0, 0)])
+    if m > n_half:
+        xm = xm[..., :n_half, :]
+        m = n_half
     c, s = _irdft_mats(n)
+    if m < n_half:
+        c, s = c[:m], s[:m]
     c, s = maybe_cast_table(c, x2), maybe_cast_table(s, x2)
     f = _norm_factor(n, norm, inverse=True)
     out = (
@@ -150,6 +163,97 @@ def irfft2_s(x2, s=None, axes=(-2, -1), norm=None):
     n1 = s[1] if s else None
     y = ifft_s(x2, n=n0, axis=axes[0], norm=norm)
     return irfft_s(y, n=n1, axis=axes[1], norm=norm)
+
+
+# ---------------------------------------------------------------------------
+# channels-last split variants: logical layout (..., S, C) with the transformed
+# axis S at logical -2 and channels last; split arrays carry the [re, im] pair
+# axis LAST, i.e. (..., S, C, 2). On the matmul path these are single einsums
+# whose contracting dim sits next to the free channel dim — the orientation the
+# MXU consumes without relayout copies (the NCHW forms cost an extra HBM pass
+# per GEMM at 0.25 deg; see PERF.md layout measurements).
+# ---------------------------------------------------------------------------
+
+
+def rfft_cl_s(x, n=None, norm=None, mout=None):
+    """real (..., W, C) -> split (..., M, C, 2); DFT over the -2 axis.
+
+    ``mout`` truncates the output modes *inside* the DFT GEMM (the table is
+    (n, mout) instead of (n, n//2+1)). At 0.25 deg the retained fraction is
+    ~1/6 — computing all modes and slicing after would waste 6x the FLOPs and
+    HBM of the dominant full-resolution transform GEMMs.
+    """
+    n = n or x.shape[-2]
+    m_full = n // 2 + 1
+    mout = min(mout or m_full, m_full)
+    if not use_matmul_fft():
+        out = from_complex(jnp.fft.rfft(x, n=n, axis=-2, norm=norm))
+        return out[..., :mout, :, :] if mout != m_full else out
+    if x.shape[-2] != n:
+        if x.shape[-2] > n:
+            x = x[..., :n, :]
+        else:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, n - x.shape[-2]), (0, 0)])
+    c, s = _rdft_mats(n)
+    if mout != m_full:
+        c, s = c[:, :mout], s[:, :mout]
+    c, s = maybe_cast_table(c, x), maybe_cast_table(s, x)
+    f = _norm_factor(n, norm, inverse=False)
+    re = jnp.einsum("...wc,wm->...mc", x, c, precision=transform_precision()) * f
+    im = jnp.einsum("...wc,wm->...mc", x, s, precision=transform_precision()) * f
+    return jnp.stack([re, im], axis=-1)
+
+
+def irfft_cl_s(x2, n=None, norm=None):
+    """split (..., M, C, 2) -> real (..., W, C); inverse DFT over the -3 axis.
+
+    Truncated inputs (M < n//2+1) multiply against the row-sliced table —
+    exactly equivalent to zero-padding the spectrum, without the 6x larger
+    GEMM at full resolution.
+    """
+    m = x2.shape[-3]
+    n = n or 2 * (m - 1)
+    if not use_matmul_fft():
+        return jnp.fft.irfft(to_complex(x2), n=n, axis=-2, norm=norm)
+    n_half = n // 2 + 1
+    if m > n_half:
+        x2 = x2[..., :n_half, :, :]
+        m = n_half
+    c, s = _irdft_mats(n)
+    if m < n_half:
+        c, s = c[:m], s[:m]
+    c, s = maybe_cast_table(c, x2), maybe_cast_table(s, x2)
+    f = _norm_factor(n, norm, inverse=True)
+    return (
+        jnp.einsum("...mc,mw->...wc", x2[..., 0], c, precision=transform_precision())
+        + jnp.einsum("...mc,mw->...wc", x2[..., 1], s, precision=transform_precision())
+    ) * f
+
+
+def fft_lat_cl_s(x2, n=None, norm=None, sign: int = -1):
+    """split (..., K, M, C, 2) -> split (..., K, M, C, 2): complex DFT over the
+    logical -3 (latitude) axis, channels-last."""
+    n = n or x2.shape[-4]
+    if not use_matmul_fft():
+        hfn = jnp.fft.fft if sign == -1 else jnp.fft.ifft
+        return from_complex(hfn(to_complex(x2), n=n, axis=-3, norm=norm))
+    c, s = _dft_mats(n, sign=sign)
+    c, s = maybe_cast_table(c, x2), maybe_cast_table(s, x2)
+    f = _norm_factor(n, norm, inverse=(sign == +1))
+    xr, xi = x2[..., 0], x2[..., 1]
+    re = (
+        jnp.einsum("...kmc,kl->...lmc", xr, c, precision=transform_precision())
+        - jnp.einsum("...kmc,kl->...lmc", xi, s, precision=transform_precision())
+    ) * f
+    im = (
+        jnp.einsum("...kmc,kl->...lmc", xr, s, precision=transform_precision())
+        + jnp.einsum("...kmc,kl->...lmc", xi, c, precision=transform_precision())
+    ) * f
+    return jnp.stack([re, im], axis=-1)
+
+
+def ifft_lat_cl_s(x2, n=None, norm=None):
+    return fft_lat_cl_s(x2, n=n, norm=norm, sign=+1)
 
 
 def to_complex(x2):

@@ -51,6 +51,16 @@ def _synthesis_contract_s(c2: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...lmr,mlk->...kmr", c2, maybe_cast_table(pct, c2), precision=transform_precision())
 
 
+def _analysis_contract_cl_s(xf2: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """channels-last: split (..., nlat, mmax, C, 2) x (mmax, lmax, nlat) -> (..., lmax, mmax, C, 2)."""
+    return jnp.einsum("...kmcr,mlk->...lmcr", xf2, maybe_cast_table(weights, xf2), precision=transform_precision())
+
+
+def _synthesis_contract_cl_s(c2: jnp.ndarray, pct: jnp.ndarray) -> jnp.ndarray:
+    """channels-last: split (..., lmax, mmax, C, 2) x (mmax, lmax, nlat) -> (..., nlat, mmax, C, 2)."""
+    return jnp.einsum("...lmcr,mlk->...kmcr", c2, maybe_cast_table(pct, c2), precision=transform_precision())
+
+
 class RealSHT:
     """Forward (analysis) real spherical harmonic transform.
 
@@ -82,9 +92,13 @@ class RealSHT:
         No complex dtype touches the device (the axon TPU backend has no
         complex support); downstream layers consume the trailing re/im pair.
         """
-        xf2 = fft_compat.rfft_s(x, n=self.nlon, axis=-1, norm="forward")
-        xf2 = xf2[..., : self.mmax, :]
+        xf2 = fft_compat.rfft_s(x, n=self.nlon, axis=-1, norm="forward", mout=self.mmax)
         return _analysis_contract_s(xf2, self._weights)
+
+    def analysis_cl(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Channels-last analysis: real (..., nlat, nlon, C) -> (..., lmax, mmax, C, 2)."""
+        xf2 = fft_compat.rfft_cl_s(x, n=self.nlon, norm="forward", mout=self.mmax)
+        return _analysis_contract_cl_s(xf2, self._weights)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         return fft_compat.to_complex(self.analysis(x))
@@ -113,6 +127,11 @@ class InverseRealSHT:
         """Split-complex synthesis: (..., lmax, mmax, 2) -> real (..., nlat, nlon)."""
         xf2 = _synthesis_contract_s(c2, self._pct)
         return fft_compat.irfft_s(xf2, n=self.nlon, axis=-1, norm="forward")
+
+    def synthesis_cl(self, c2: jnp.ndarray) -> jnp.ndarray:
+        """Channels-last synthesis: (..., lmax, mmax, C, 2) -> real (..., nlat, nlon, C)."""
+        xf2 = _synthesis_contract_cl_s(c2, self._pct)
+        return fft_compat.irfft_cl_s(xf2, n=self.nlon, norm="forward")
 
     def __call__(self, coeff: jnp.ndarray) -> jnp.ndarray:
         return self.synthesis(fft_compat.from_complex(coeff))

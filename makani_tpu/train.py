@@ -31,7 +31,27 @@ def get_parser():
     parser.add_argument("--save_checkpoint", type=str, default=None)
     parser.add_argument("--checkpoint_path", type=str, default=None)
     parser.add_argument("--pretrained_checkpoint_path", type=str, default=None)
+    # multi-host SPMD (ref comm.py mpirun/srun bootstrap; here one process per
+    # host, wired by jax.distributed). --multihost with no further args uses
+    # TPU-pod/SLURM auto-detection.
+    parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
+
+
+def init_multihost_from_args(args) -> int:
+    """Bring up jax.distributed if requested; returns this process's rank."""
+    from makani_tpu.parallel import multihost
+
+    if getattr(args, "multihost", False) or getattr(args, "coordinator_address", None):
+        multihost.init_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    return multihost.process_index()
 
 
 def build_params(args):
@@ -78,7 +98,8 @@ def build_params(args):
 
 def main():
     args = get_parser().parse_args()
-    logging.basicConfig(level=logging.INFO)
+    world_rank = init_multihost_from_args(args)  # must precede any backend use
+    logging.basicConfig(level=logging.INFO if world_rank == 0 else logging.WARNING)
     params = build_params(args)
 
     if getattr(args, "enable_grad_anomaly_detection", False):
@@ -90,7 +111,7 @@ def main():
 
     from makani_tpu.utils.training.deterministic_trainer import Trainer
 
-    trainer = Trainer(params)
+    trainer = Trainer(params, world_rank=world_rank)
 
     trace_dir = getattr(args, "capture_trace_dir", None)
     if trace_dir:

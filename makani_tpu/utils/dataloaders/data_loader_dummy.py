@@ -12,6 +12,7 @@ __all__ = ["DummyDataset"]
 
 class DummyDataset:
     def __init__(self, params, location: str = "", train: bool = True, n_samples: int = 64, final_eval: bool = False):
+        self.params = params
         self.n_history = params.get("n_history", 0)
         self.n_future = params.get("n_future", 0) if train else params.get("valid_autoreg_steps", 0)
         self.add_zenith = params.get("add_zenith", False)
@@ -33,10 +34,16 @@ class DummyDataset:
     def __getitem__(self, idx: int):
         rng = np.random.RandomState((self.seed + idx) % (2**31))
         H, W = self.img_shape
-        inp = rng.randn(self.n_history + 1, self.n_in, H, W).astype(np.float32)
-        tar = rng.randn(self.n_future + 1, self.n_out, H, W).astype(np.float32)
+        # generate the full global field deterministically, then slice the
+        # io tile (keeps values a function of global coordinates, so sharded
+        # and serial runs see identical data)
+        tx = tuple(self.params.get("io_tile_x", (0, H)) or (0, H)) if hasattr(self, "params") else (0, H)
+        ty = tuple(self.params.get("io_tile_y", (0, W)) or (0, W)) if hasattr(self, "params") else (0, W)
+        sx, sy = slice(*tx), slice(*ty)
+        inp = rng.randn(self.n_history + 1, self.n_in, H, W).astype(np.float32)[..., sx, sy]
+        tar = rng.randn(self.n_future + 1, self.n_out, H, W).astype(np.float32)[..., sx, sy]
         sample = {"inp": inp, "tar": tar}
         if self.add_zenith:
-            sample["izen"] = rng.rand(self.n_history + 1, 1, H, W).astype(np.float32) * 2 - 1
-            sample["tzen"] = rng.rand(self.n_future + 1, 1, H, W).astype(np.float32) * 2 - 1
+            sample["izen"] = (rng.rand(self.n_history + 1, 1, H, W).astype(np.float32) * 2 - 1)[..., sx, sy]
+            sample["tzen"] = (rng.rand(self.n_future + 1, 1, H, W).astype(np.float32) * 2 - 1)[..., sx, sy]
         return sample

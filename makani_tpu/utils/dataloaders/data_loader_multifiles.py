@@ -93,8 +93,16 @@ class MultifilesDataset:
 
         self.in_bias, self.in_scale = get_data_normalization(params)
 
-        self._sx = slice(self.crop_anchor[0], self.crop_anchor[0] + cx, ss)
-        self._sy = slice(self.crop_anchor[1], self.crop_anchor[1] + cy, ss)
+        # per-process sharded IO tile (ref dataloader.py:30-71 io_grid): read
+        # only the (h, w) rows/cols this host's devices own. Tile indices are
+        # into the final cropped+subsampled grid; compose them with the crop
+        # anchor and subsampling stride to get file-space slices.
+        tx = tuple(params.get("io_tile_x", (0, self.img_shape[0])) or (0, self.img_shape[0]))
+        ty = tuple(params.get("io_tile_y", (0, self.img_shape[1])) or (0, self.img_shape[1]))
+        self.io_tile = (tx, ty)
+        self.tile_shape = (tx[1] - tx[0], ty[1] - ty[0])
+        self._sx = slice(self.crop_anchor[0] + tx[0] * ss, self.crop_anchor[0] + tx[1] * ss, ss)
+        self._sy = slice(self.crop_anchor[1] + ty[0] * ss, self.crop_anchor[1] + ty[1] * ss, ss)
 
         lat = params.get("lat")
         lon = params.get("lon")

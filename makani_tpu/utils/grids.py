@@ -122,12 +122,16 @@ class GridQuadrature:
         # numpy for trace-safety (see ops/sht.py); becomes a jit constant
         self.quad_weight = quad_weight.astype(np.float32)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, channels_last: bool = False) -> jnp.ndarray:
         w = self.quad_weight
+        # spatial axes: NCHW -> (-2, -1); NHWC -> (-3, -2)
+        lat_ax, lon_ax = (-3, -2) if channels_last else (-2, -1)
         # padded-latitude convention: zero-weight any rows/cols beyond the
         # physical grid (distributed transforms pad lat to the mesh multiple)
-        if x.shape[-2] > w.shape[-2] or x.shape[-1] > w.shape[-1]:
-            w = np.pad(w, [(0, x.shape[-2] - w.shape[-2]), (0, x.shape[-1] - w.shape[-1])])
+        if x.shape[lat_ax] > w.shape[0] or x.shape[lon_ax] > w.shape[1]:
+            w = np.pad(w, [(0, x.shape[lat_ax] - w.shape[0]), (0, x.shape[lon_ax] - w.shape[1])])
+        if channels_last:
+            return jnp.sum(x * jnp.asarray(w, dtype=x.dtype)[..., None], axis=(-3, -2))
         return jnp.sum(x * jnp.asarray(w, dtype=x.dtype), axis=(-2, -1))
 
 

@@ -2,10 +2,11 @@
 
 Tracks per-(rollout-step, channel) rollout curves of the configured metrics
 (L1 / RMSE / ACC vs climatology, plus CRPS/spread/SSR for ensembles) across
-validation batches. The device side is a pure function returning per-batch
-metric values; accumulation happens on the host in numpy (cheap: the values
-are (steps, channels) scalars), replacing the reference's CUDA-stream
-Welford machinery which jit makes unnecessary.
+validation batches. The device side is one jitted function per input shape
+that reduces each metric over the (sharded, possibly multi-host) batch on
+device; the host only ever touches replicated (C,)-sized sums, so
+accumulation is multi-process-safe — replacing the reference's CUDA-stream
+Welford machinery (which jit + GSPMD make unnecessary).
 """
 
 from __future__ import annotations
@@ -14,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from makani_tpu.utils.grids import GridQuadrature, grid_to_quadrature_rule
@@ -44,6 +46,10 @@ class MetricsHandler:
 
         self.climatology = climatology
         self.metric_names = list(params.get("metric_names", ["rmse", "acc", "l1"]))
+        # device-side batch reduction: sum over the batch on device so the host
+        # only reads replicated (C,) sums (multi-host-safe; the per-batch (B, C)
+        # intermediates may be sharded over processes)
+        self._jit_batch_sums = jax.jit(self._batch_sums)
         self.reset()
 
     def reset(self):
@@ -82,18 +88,34 @@ class MetricsHandler:
                 out[m] = ensemble_rank_histogram(prd, tar, quad)
         return out
 
-    def update(self, prd, tar, step: int):
-        """Accumulate one validation batch at rollout step ``step``."""
+    def _batch_sums(self, prd, tar):
+        """Jitted: per-batch metrics summed over the batch dim -> ((C,)-dict, n)."""
         vals = self.compute_batch(prd, tar)
-        for m, v in vals.items():
-            v = np.asarray(v)
+        return {m: jnp.sum(v, axis=0) for m, v in vals.items()}, prd.shape[0]
+
+    def update(self, prd, tar, step: int):
+        """Accumulate one validation batch at rollout step ``step``.
+
+        The reduction over the batch runs on device inside jit, so only
+        replicated per-channel sums reach the host — safe when ``prd``/``tar``
+        are global arrays sharded across processes.
+        """
+        sums, n = self._jit_batch_sums(prd, tar)
+        for m, v in sums.items():
+            v = np.asarray(jax.device_get(v))
             if m not in self._sums:
-                self._sums[m] = np.zeros((self.num_rollout_steps, *v.shape[1:]), np.float64)
-            self._sums[m][step] += v.sum(axis=0)
-        self._counts[step] += np.asarray(vals[next(iter(vals))]).shape[0]
+                self._sums[m] = np.zeros((self.num_rollout_steps, *v.shape), np.float64)
+            self._sums[m][step] += v
+        self._counts[step] += int(n)
 
     def finalize(self) -> dict:
-        """Averaged rollout curves plus scalar summaries."""
+        """Averaged rollout curves plus scalar summaries.
+
+        Logs the full per-step rollout curve of each metric (channel-mean), the
+        per-channel values at step 0 and at the final step — mirroring the
+        reference's full rollout-curve logging (makani/utils/metric.py:651-746);
+        channel-resolved full curves go to ``save()``.
+        """
         logs = {}
         counts = np.maximum(self._counts, 1)
         self.rollout_curves = {
@@ -108,8 +130,12 @@ class MetricsHandler:
                 logs["rankhist_rmsd"] = float(dev[0])
                 continue
             logs[f"{m}"] = float(curve[0].mean())
+            for s in range(curve.shape[0]):
+                logs[f"{m}_rollout/{s}"] = float(curve[s].mean())
             for c, name in enumerate(self.channel_names):
                 logs[f"{m}/{name}"] = float(curve[0, c])
+                if curve.shape[0] > 1:
+                    logs[f"{m}_final/{name}"] = float(curve[-1, c])
             if curve.shape[0] > 1:
                 logs[f"{m}_rollout_last"] = float(curve[-1].mean())
         return logs

@@ -54,9 +54,9 @@ class Trainer:
             ensemble=params.get("ensemble_parallel_size", 1),
         )
 
-        # dataloaders
-        self.train_loader, self.train_dataset = get_dataloader(params, params.get("train_data_path", ""), mode="train")
-        self.valid_loader, self.valid_dataset = get_dataloader(params, params.get("valid_data_path", ""), mode="eval")
+        # dataloaders (multi-host: per-process batch rows + (h, w) IO tiles)
+        self.train_loader, self.train_dataset = get_dataloader(params, params.get("train_data_path", ""), mode="train", mesh=self.mesh)
+        self.valid_loader, self.valid_dataset = get_dataloader(params, params.get("valid_data_path", ""), mode="eval", mesh=self.mesh)
 
         # model (+ multistep wrapper when n_future > 0; ref get_model multistep flag)
         self.multistep = params.get("n_future", 0) > 0
@@ -188,6 +188,43 @@ class Trainer:
         return jax.tree_util.tree_map(fix, opt_state)
 
     def _put_batch(self, batch):
+        from makani_tpu.parallel import multihost
+
+        # padded-latitude convention when spatially sharded: 721 rows over h=2
+        # ship as 722; transforms, quadrature losses and metrics zero-weight
+        # the pad rows
+        nh, nw = self.mesh.shape["h"], self.mesh.shape["w"]
+        H, W = self.params.get("img_shape_x"), self.params.get("img_shape_y")
+        Hp, Wp = H + (-H) % nh, W + (-W) % nw
+
+        if jax.process_count() > 1:
+            # batches arrive process-local from the loader (its rows of the
+            # global batch, its (h, w) IO tile — ref makani/utils/dataloader.py
+            # io_grid + DistributedSampler); assemble the global jax.Array.
+            # The process owning the last tile pads it to the sharded extent.
+            B = getattr(self.train_loader, "global_batch_size", batch["inp"].shape[0])
+            tx = tuple(self.params.get("io_tile_x", (0, H)) or (0, H))
+            ty = tuple(self.params.get("io_tile_y", (0, W)) or (0, W))
+            pad_h = (Hp - H) if tx[1] == H else 0
+            pad_w = (Wp - W) if ty[1] == W else 0
+
+            def put(x, spec):
+                x = np.asarray(x)
+                if pad_h or pad_w:
+                    x = np.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad_h), (0, pad_w)])
+                gshape = (B, *x.shape[1:-2], Hp, Wp)
+                return multihost.make_global_array(x, self.mesh, spec, gshape)
+
+            inp = put(batch["inp"], self.data_sharding.spec)
+            tar = put(batch["tar"], self.data_sharding.spec)
+            zen = put(batch["zen"], self.zen_sharding.spec) if "zen" in batch else None
+            return inp, tar, zen
+
+        if Hp != H or Wp != W:
+            batch = {
+                k: np.pad(np.asarray(v), [(0, 0)] * (v.ndim - 2) + [(0, Hp - v.shape[-2]), (0, Wp - v.shape[-1])])
+                for k, v in batch.items()
+            }
         inp = jax.device_put(batch["inp"], self.data_sharding)
         tar = jax.device_put(batch["tar"], self.data_sharding)
         zen = jax.device_put(batch["zen"], self.zen_sharding) if "zen" in batch else None
@@ -233,15 +270,18 @@ class Trainer:
         for batch in self.valid_loader:
             inp, tar, zen = self._put_batch(batch)
             inpt = inp
+            step_losses = []
             for step in range(S):
                 zwin = None if zen is None else zen[:, step : step + T]
                 pred = self._eval_step(self.model_params, inpt, zwin)
                 tstep = tar[:, step * n_out : (step + 1) * n_out]
                 self.metrics.update(pred, tstep, step)
-                if step == 0:
-                    valid_losses.append(self.loss_obj(pred, tstep, train=False))
+                # accumulate the loss over the whole autoregressive rollout
+                # (ref deterministic_trainer.py:636-720), not just step 0
+                step_losses.append(self.loss_obj(pred, tstep, train=False))
                 if step < S - 1:
                     inpt = self.preprocessor.append_history(inpt, pred, step)
+            valid_losses.append(jnp.mean(jnp.stack(step_losses)))
         logs = self.metrics.finalize()
         logs["valid_loss"] = float(jnp.mean(jnp.stack(valid_losses))) if valid_losses else float("nan")
         return logs

@@ -19,6 +19,55 @@ import optax
 __all__ = ["get_optimizer", "get_schedule"]
 
 
+# FCN3 staged-training freeze groups (ref fourcastnet3.py:886-899):
+# freeze_encoder covers the DISCO encoders/decoders and the big-skip transform;
+# freeze_processor covers the processor blocks.
+_FREEZE_ENCODER_PREFIXES = (
+    "atmo_encoder",
+    "surf_encoder",
+    "aux_encoder",
+    "atmo_decoder",
+    "surf_decoder",
+    "encoder",
+    "decoder",
+    "residual_transform",
+)
+_FREEZE_PROCESSOR_PREFIXES = ("block",)
+
+
+def _freeze_labels(params, freeze_encoder: bool, freeze_processor: bool):
+    """Label each leaf 'frozen' or 'train' by module-path prefix."""
+
+    def label(path, _leaf):
+        comps = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+        for c in comps:
+            if freeze_encoder and any(c == p or c.startswith(p) for p in _FREEZE_ENCODER_PREFIXES):
+                return "frozen"
+            if freeze_processor and any(c.startswith(p) for p in _FREEZE_PROCESSOR_PREFIXES):
+                return "frozen"
+        return "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def apply_freeze_flags(tx, params, model_params):
+    """Wrap the optimizer so frozen parameter groups receive zero updates.
+
+    The reference freezes via ``requires_grad = False``
+    (fourcastnet3.py:886-899) — parameters stop updating but gradients still
+    flow *through* them (essential for push-forward multistep training, where
+    later steps backprop into earlier steps' encoders). ``optax.set_to_zero``
+    on the frozen label reproduces exactly that: zero update, no optimizer
+    state, full gradient flow.
+    """
+    freeze_encoder = bool(params.get("freeze_encoder", False))
+    freeze_processor = bool(params.get("freeze_processor", False))
+    if not (freeze_encoder or freeze_processor):
+        return tx
+    labels = _freeze_labels(model_params, freeze_encoder, freeze_processor)
+    return optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, labels)
+
+
 def _no_decay_mask(params):
     """True where weight decay applies: matrices/kernels, not biases/norm
     scales/pos embeddings (ref training_helpers.py:33-74)."""
@@ -95,6 +144,9 @@ def get_optimizer(params, model_params, steps_per_epoch: int = 1):
         chain.append(optax.clip_by_global_norm(max_norm))
     chain.append(base)
     tx = optax.chain(*chain)
+
+    # staged-training freezes (FCN3 pretrain2/finetune recipes)
+    tx = apply_freeze_flags(tx, params, model_params)
 
     accum = params.get("grad_accumulation_steps", 1)
     if accum and accum > 1:

@@ -11,11 +11,28 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any
 
 import yaml
 
 __all__ = ["ParamsBase", "YParams"]
+
+# PyYAML implements YAML 1.1, whose float resolver rejects exponent forms
+# without a dot ("1E-3", "5E-4" — the style the reference's recipes use
+# throughout). The reference loads with ruamel (YAML 1.2 core schema), which
+# resolves them as floats; coerce the stragglers so configs parse identically.
+_FLOAT_RE = re.compile(r"^[+-]?((\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)$")
+
+
+def _coerce_numeric_strings(node):
+    if isinstance(node, dict):
+        return {k: _coerce_numeric_strings(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_numeric_strings(v) for v in node]
+    if isinstance(node, str) and _FLOAT_RE.match(node):
+        return float(node)
+    return node
 
 
 class ParamsBase:
@@ -86,7 +103,7 @@ class YParams(ParamsBase):
             doc = yaml.safe_load(f)
         if config_name not in doc:
             raise KeyError(f"config {config_name} not found in {yaml_filename}; available: {list(doc)}")
-        super().__init__(doc[config_name] or {})
+        super().__init__(_coerce_numeric_strings(doc[config_name] or {}))
         self.params["config"] = config_name
         self.params["yaml_filename"] = yaml_filename
         if print_params:

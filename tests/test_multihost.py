@@ -1,0 +1,72 @@
+"""Multi-host SPMD: the full trainer under jax.distributed with 2 processes.
+
+The reference's entire raison d'etre is multi-node training (makani
+README.md:17 "100+ GPUs"; utils/comm.py builds the cross-node group tree).
+Here the equivalent path is exercised for real: two OS processes, each owning
+4 virtual CPU devices, joined by ``jax.distributed.initialize`` (gloo
+collectives) into one 8-device mesh (batch=2 x h=2 x w=2). Each process feeds
+only its local global-batch slice via ``make_array_from_process_local_data``;
+metrics reduce on device. Parity target: the same global config run
+single-process on 8 devices.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_world(nproc: int, tmpdir: str, timeout: int = 900):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nproc), str(port), tmpdir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(nproc)
+    ]
+    results = {}
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outputs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        for line in out.splitlines():
+            if line.startswith("MHRESULT "):
+                r = json.loads(line[len("MHRESULT "):])
+                results[r["rank"]] = r
+    assert len(results) == nproc, f"missing results:\n{''.join(outputs)[-4000:]}"
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_trainer_matches_single_process(tmp_path):
+    multi = _run_world(2, str(tmp_path / "mh"))
+    single = _run_world(1, str(tmp_path / "sp"))
+
+    assert multi[0]["nproc"] == 2 and multi[1]["nproc"] == 2
+    # both ranks observe identical replicated losses
+    assert multi[0]["train_loss"] == pytest.approx(multi[1]["train_loss"], rel=1e-6)
+    assert multi[0]["valid_loss"] == pytest.approx(multi[1]["valid_loss"], rel=1e-6)
+    # and the 2-process world reproduces the single-process run (same global
+    # batches, same mesh shape; tolerance covers collective reduction order)
+    assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
+    assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
+    assert multi[0]["rmse"] == pytest.approx(single[0]["rmse"], rel=2e-4)
