@@ -152,6 +152,19 @@ class MultifilesDataset:
             sample["tzen"] = self._zenith([ts[i] for i in tar_idx])
         return sample
 
+    def base_timestamp(self, idx: int) -> int:
+        """Epoch seconds of the sample's base (initial-condition) time."""
+        fidx = bisect_right(self.cum, idx) - 1
+        local = idx - self.cum[fidx] + self.margin_front
+        return int(self.timestamps[fidx][local])
+
+    def target_timestamps(self, idx: int):
+        """Epoch seconds of each target (lead-time) step of sample ``idx``."""
+        fidx = bisect_right(self.cum, idx) - 1
+        local = idx - self.cum[fidx] + self.margin_front
+        ts = self.timestamps[fidx]
+        return [int(ts[local + (i + 1) * self.dt]) for i in range(self.n_future + 1)]
+
     def get_sample_at_time(self, when: np.datetime64):
         """Locate the sample whose base index matches a timestamp (inference)."""
         target = when.astype("datetime64[s]").astype(np.int64)

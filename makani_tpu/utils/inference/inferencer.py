@@ -37,7 +37,72 @@ from makani_tpu.utils.metric import MetricsHandler
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["Inferencer"]
+__all__ = ["Inferencer", "SideDataset"]
+
+
+def split_list(lst, num_chunks: int):
+    """Split a list into num_chunks contiguous, near-equal chunks
+    (ref makani/utils/functions.py split_list semantics)."""
+    chunks = []
+    n = len(lst)
+    base = n // num_chunks
+    rem = n % num_chunks
+    pos = 0
+    for i in range(num_chunks):
+        size = base + (1 if i < rem else 0)
+        chunks.append(lst[pos : pos + size])
+        pos += size
+    return chunks
+
+
+class SideDataset:
+    """Time-indexed side fields: masks or per-date climatology
+    (ref inferencer.py:114-178 mask/climatology MultifilesDataset usage).
+
+    Reads a directory (or single file) of HDF5 files holding ``fields``
+    (T, C, H, W). Lookup is by *relative* timestamp — seconds since the start
+    of the year — so a one-year climatology file serves any target date.
+    Channels are selected with ``out_channels``; optional bias/scale normalize
+    the fields into model space (climatology) — masks stay raw.
+    """
+
+    def __init__(self, location: str, out_channels, bias=None, scale=None, dhours: int = 6):
+        import glob
+
+        import h5py
+
+        paths = sorted(glob.glob(os.path.join(location, "*.h5"))) if os.path.isdir(location) else [location]
+        if not paths:
+            raise IOError(f"no side-dataset files under {location}")
+        # single handle: side datasets are one file (climatology/mask)
+        self._file = h5py.File(paths[0], "r")
+        self._fields = self._file["fields"]
+        self.n_samples = self._fields.shape[0]
+        self.out_channels = np.asarray(out_channels)
+        # bias/scale arrive (1, C, 1, 1) over all channels; pre-select
+        self.bias = None if bias is None else np.asarray(bias).reshape(-1, 1, 1)[self.out_channels]
+        self.scale = None if scale is None else np.asarray(scale).reshape(-1, 1, 1)[self.out_channels]
+        self.dhours = dhours
+        if "timestamp" in self._file:
+            self._rel_ts = np.asarray(self._file["timestamp"], np.int64)
+            self._rel_ts = self._rel_ts - self._rel_ts[0]
+        else:
+            self._rel_ts = np.arange(self.n_samples, dtype=np.int64) * dhours * 3600
+
+    def at_time(self, timestamp: float) -> np.ndarray:
+        """Fields (C, H, W) at the relative time of ``timestamp`` (epoch s)."""
+        year_start = (
+            np.asarray(np.int64(timestamp), "datetime64[s]")
+            .astype("datetime64[Y]")
+            .astype("datetime64[s]")
+            .astype(np.int64)
+        )
+        rel = np.int64(timestamp) - year_start
+        idx = int(np.argmin(np.abs(self._rel_ts - rel % (self._rel_ts[-1] + self.dhours * 3600))))
+        x = np.asarray(self._fields[idx], np.float32)[self.out_channels]
+        if self.bias is not None and self.scale is not None:
+            x = (x - self.bias) / self.scale
+        return x
 
 
 class Inferencer:
@@ -79,11 +144,34 @@ class Inferencer:
             )
             self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 99)
 
+        # mask / per-date climatology side-datasets (ref inferencer.py:114-178).
+        # With a climatology side-dataset, anomalies are formed per date in the
+        # rollout loop and the handler's static climatology is disabled.
+        self.mask_dataset = None
+        if params.get("mask_file", None):
+            self.mask_dataset = SideDataset(params.get("mask_file"), params.get("out_channels"), dhours=params.get("dhours", 6))
+            from makani_tpu.utils.grids import GridQuadrature, grid_to_quadrature_rule
+
+            self.mask_quadrature = GridQuadrature(
+                grid_to_quadrature_rule(params.get("model_grid_type", "equiangular")),
+                img_shape=(params.get("img_shape_x"), params.get("img_shape_y")),
+                normalize=True,
+            )
+        self.climatology_dataset = None
+        if params.get("climatology_file", None):
+            from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
+
+            bias, scale = get_data_normalization(params)
+            self.climatology_dataset = SideDataset(
+                params.get("climatology_file"), params.get("out_channels"), bias=bias, scale=scale, dhours=params.get("dhours", 6)
+            )
+
         clim = None
-        try:
-            clim = get_climatology(params)
-        except Exception:
-            clim = None
+        if self.climatology_dataset is None:
+            try:
+                clim = get_climatology(params)
+            except Exception:
+                clim = None
         self.metrics = MetricsHandler(params, climatology=clim)
         self.loss_obj = LossHandler(params)
 
@@ -114,6 +202,23 @@ class Inferencer:
 
         self._eval_step = eval_step
 
+    def _select_indices(self):
+        """Initial-condition indices for THIS process: optional date-range
+        filtering (--start_date/--end_date, ref inference.py CLI) followed by
+        an even split over processes (the reference's batch-rank split,
+        inferencer.py:239-247)."""
+        n = len(self.valid_dataset)
+        indices = list(range(n))
+        start = self.params.get("start_date", None)
+        end = self.params.get("end_date", None)
+        if (start or end) and hasattr(self.valid_dataset, "base_timestamp"):
+            t0 = np.datetime64(start).astype("datetime64[s]").astype(np.int64) if start else -(2**62)
+            t1 = np.datetime64(end).astype("datetime64[s]").astype(np.int64) if end else 2**62
+            indices = [i for i in indices if t0 <= self.valid_dataset.base_timestamp(i) <= t1]
+            if not indices:
+                raise ValueError(f"no samples between {start} and {end}")
+        return split_list(indices, jax.process_count())[jax.process_index()]
+
     def score_model(self, output_dir: Optional[str] = None):
         """Roll out over all initial conditions and score every lead time
         (ref inferencer.py:218-520). Returns the metrics log dict."""
@@ -139,12 +244,24 @@ class Inferencer:
             )
             buffers.append(self.rollout_buffer)
         self.temporal_buffer = TemporalAverageBuffer(S, n_out, (H, W))
+        # bias buffer: Welford mean/std of (pred - target), the reference's
+        # bias_file output (inferencer.py:697-701)
+        self.bias_buffer = TemporalAverageBuffer(S, n_out, (H, W))
         self.spectrum_buffer = SpectrumAverageBuffer((H, W), S, n_out, params.get("model_grid_type", "equiangular"))
         self.zonal_buffer = ZonalSpectrumAverageBuffer((H, W), S, n_out)
 
         E = self.ensemble_size
+        indices = self._select_indices()
+        bs = params.get("batch_size", 1)
+        index_batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
+        from makani_tpu.utils.dataloader import _assemble
+
+        has_ts = hasattr(self.valid_dataset, "target_timestamps")
         ic_index = 0
-        for batch in self.valid_loader:
+        for batch_idx in index_batches:
+            batch = _assemble([self.valid_dataset[int(i)] for i in batch_idx])
+            # per-lead-time target timestamps for mask/climatology lookup
+            tar_ts = [self.valid_dataset.target_timestamps(int(i)) for i in batch_idx] if has_ts else None
             inp = jnp.asarray(batch["inp"])
             tar = jnp.asarray(batch["tar"])
             zen = jnp.asarray(batch["zen"]) if "zen" in batch else None
@@ -167,7 +284,11 @@ class Inferencer:
                     if self.centered:
                         seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
                     zen = jnp.concatenate([zen, seq], axis=2) if zen is not None else seq
-            inp = jax.device_put(inp, self.data_sharding)
+            # ragged last batch (or fewer ICs than data shards): place
+            # replicated rather than requiring divisibility
+            n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+            sharding = self.data_sharding if inp.shape[0] % n_shards == 0 else NamedSharding(self.mesh, P(None, None, "h", "w"))
+            inp = jax.device_put(inp, sharding)
 
             inpt = inp
             for step in range(S):
@@ -180,29 +301,58 @@ class Inferencer:
                 else:
                     pred_scored = pred
                 tstep = tar[:, step * n_out : (step + 1) * n_out]
-                self.metrics.update(pred_scored, tstep, step)
+
+                # per-date side fields at this lead time
+                mask = clims = None
+                if tar_ts is not None and (self.mask_dataset is not None or self.climatology_dataset is not None):
+                    ts_step = [row[step] for row in tar_ts]
+                    if self.mask_dataset is not None:
+                        m = np.stack([self.mask_dataset.at_time(t) for t in ts_step])
+                        m = jnp.asarray(m)
+                        # normalize masks to unit quadrature integral (ref :602-605)
+                        mnorm = self.mask_quadrature(m)[..., None, None]
+                        mask = m / jnp.maximum(mnorm, 1e-12)
+                    if self.climatology_dataset is not None:
+                        clims = jnp.asarray(np.stack([self.climatology_dataset.at_time(t) for t in ts_step]))
+
+                # subtract per-date climatology before scoring (anomaly metrics)
+                if clims is not None:
+                    predc = pred_scored - (clims[:, None] if pred_scored.ndim == 5 else clims)
+                    tstepc = tstep - clims
+                else:
+                    predc, tstepc = pred_scored, tstep
+                self.metrics.update(predc, tstepc, step, mask=mask)
+
                 pred_mean = jnp.mean(pred_scored, axis=1) if E > 1 else pred
                 self.temporal_buffer.update(pred_mean, step)
-                self.spectrum_buffer.update(pred_mean, step)
-                self.zonal_buffer.update(pred_mean, step)
+                self.bias_buffer.update(pred_mean - tstep, step)
+                self.spectrum_buffer.update(pred_mean, step, tar=tstep)
+                self.zonal_buffer.update(pred_mean, step, tar=tstep)
                 if hasattr(self, "rollout_buffer"):
                     self.rollout_buffer.update(pred_mean, step, ic_index)
                 if step < S - 1:
                     inpt = self.preprocessor.append_history(inpt, pred, step)
             ic_index += 1
 
-        logs = self.metrics.finalize()
+        logs = self.metrics.finalize(reduce_over_processes=True)
         if output_dir:
             self.metrics.save(os.path.join(output_dir, "metrics.h5"))
             import h5py
 
             mean, std = self.temporal_buffer.finalize()
+            bias_mean, bias_std = self.bias_buffer.finalize()
             with h5py.File(os.path.join(output_dir, "temporal_averages.h5"), "w") as f:
                 f.create_dataset("mean", data=mean)
                 f.create_dataset("std", data=std)
+                f.create_dataset("bias_mean", data=bias_mean)
+                f.create_dataset("bias_std", data=bias_std)
+            sh_prd, sh_tar = self.spectrum_buffer.finalize()
+            zn_prd, zn_tar = self.zonal_buffer.finalize()
             with h5py.File(os.path.join(output_dir, "spectra.h5"), "w") as f:
-                f.create_dataset("sh_spectrum", data=self.spectrum_buffer.finalize())
-                f.create_dataset("zonal_spectrum", data=self.zonal_buffer.finalize())
+                f.create_dataset("sh_spectrum", data=sh_prd)
+                f.create_dataset("sh_spectrum_target", data=sh_tar)
+                f.create_dataset("zonal_spectrum", data=zn_prd)
+                f.create_dataset("zonal_spectrum_target", data=zn_tar)
             if hasattr(self, "rollout_buffer"):
                 self.rollout_buffer.finalize()
         return logs

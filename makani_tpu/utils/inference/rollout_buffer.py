@@ -106,7 +106,9 @@ class TemporalAverageBuffer:
 
 
 class SpectrumAverageBuffer:
-    """Mean SH power spectrum per (lead time, channel, degree l)."""
+    """Mean SH power spectrum per (lead time, channel, degree l) of the
+    prediction AND the target (the reference compares both,
+    rollout_buffer.py:919-1100)."""
 
     def __init__(self, img_shape, num_steps: int, num_channels: int, grid_type: str = "equiangular"):
         self.sht = RealSHT(img_shape[0], img_shape[1], grid=grid_type)
@@ -114,6 +116,7 @@ class SpectrumAverageBuffer:
         mw[0] = 1.0
         self._mode_weights = mw
         self.sum = np.zeros((num_steps, num_channels, self.sht.lmax), np.float64)
+        self.sum_tar = np.zeros((num_steps, num_channels, self.sht.lmax), np.float64)
         self.count = np.zeros(num_steps, np.int64)
         self.img_shape = tuple(img_shape)
 
@@ -122,31 +125,44 @@ class SpectrumAverageBuffer:
         power = (jnp.square(c2[..., 0]) + jnp.square(c2[..., 1])) * jnp.asarray(self._mode_weights)
         return np.asarray(jnp.sum(power, axis=-1))  # (B, C, L)
 
-    def update(self, pred, idt: int):
+    def update(self, pred, idt: int, tar=None):
         spec = self._spectrum(pred)
         self.sum[idt] += spec.sum(axis=0)
         self.count[idt] += spec.shape[0]
+        if tar is not None:
+            self.sum_tar[idt] += self._spectrum(tar).sum(axis=0)
 
     def finalize(self):
-        return (self.sum / np.maximum(self.count[:, None, None], 1)).astype(np.float32)
+        """Returns (pred_spectrum, target_spectrum), each (S, C, L)."""
+        c = np.maximum(self.count[:, None, None], 1)
+        return (self.sum / c).astype(np.float32), (self.sum_tar / c).astype(np.float32)
 
 
 class ZonalSpectrumAverageBuffer:
-    """Mean zonal (per-latitude longitudinal FFT) power spectrum."""
+    """Mean zonal (per-latitude longitudinal FFT) power spectrum of prediction
+    and target."""
 
     def __init__(self, img_shape, num_steps: int, num_channels: int):
         self.img_shape = tuple(img_shape)
         nlon = img_shape[1]
         self.sum = np.zeros((num_steps, num_channels, nlon // 2 + 1), np.float64)
+        self.sum_tar = np.zeros((num_steps, num_channels, nlon // 2 + 1), np.float64)
         self.count = np.zeros(num_steps, np.int64)
 
-    def update(self, pred, idt: int):
-        x = jnp.asarray(np.asarray(pred)[..., : self.img_shape[0], : self.img_shape[1]], jnp.float32)
-        f2 = fft_compat.rfft_s(x, axis=-1, norm="forward")
+    def _spectrum(self, x):
+        xj = jnp.asarray(np.asarray(x)[..., : self.img_shape[0], : self.img_shape[1]], jnp.float32)
+        f2 = fft_compat.rfft_s(xj, axis=-1, norm="forward")
         power = jnp.square(f2[..., 0]) + jnp.square(f2[..., 1])
-        spec = np.asarray(jnp.mean(power, axis=-2))  # average over latitude: (B, C, M)
+        return np.asarray(jnp.mean(power, axis=-2))  # average over latitude: (B, C, M)
+
+    def update(self, pred, idt: int, tar=None):
+        spec = self._spectrum(pred)
         self.sum[idt] += spec.sum(axis=0)
         self.count[idt] += spec.shape[0]
+        if tar is not None:
+            self.sum_tar[idt] += self._spectrum(tar).sum(axis=0)
 
     def finalize(self):
-        return (self.sum / np.maximum(self.count[:, None, None], 1)).astype(np.float32)
+        """Returns (pred_spectrum, target_spectrum), each (S, C, M)."""
+        c = np.maximum(self.count[:, None, None], 1)
+        return (self.sum / c).astype(np.float32), (self.sum_tar / c).astype(np.float32)

@@ -11,14 +11,22 @@ Probabilistic losses for ensemble training. Kernels:
   * "gauss" — analytic CRPS for a Gaussian fit to the ensemble.
 
 Distribution: the reference all-to-alls ensemble members against spatial
-points so each rank scores full ensembles (crps_loss.py:372-380). Here the
-loss is written over the global (B, E, C, H, W) array; under pjit, GSPMD
-inserts the required gathers from the sharding — with the manual
-ensemble<->spatial transpose kept as a later optimization.
+points so each rank scores full ensembles (crps_loss.py:372-380). Two paths:
+
+  * GSPMD: the loss is written over the global (B, E, C, H, W) array and
+    pjit derives an all-gather of the ensemble dim from the sharding.
+  * manual (``crps_ensemble_manual_a2a``): a `shard_map` body all-to-alls
+    members against latitude rows, so each device sorts full ensembles on a
+    latitude slice — the reference's communication pattern, moving 1/ne of
+    the bytes the all-gather does. Selected automatically when the mesh's
+    ensemble axis is populated and the padded latitude count divides
+    (env MAKANI_MANUAL_ENSEMBLE_A2A=off forces the GSPMD path).
 """
 
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -28,7 +36,7 @@ import jax.numpy as jnp
 
 from .base_loss import GeometricBaseLoss, LossType, SpectralBaseLoss
 
-__all__ = ["CRPSLoss", "SpectralCRPSLoss", "crps_ensemble"]
+__all__ = ["CRPSLoss", "SpectralCRPSLoss", "crps_ensemble", "crps_ensemble_manual_a2a"]
 
 
 def _crps_cdf_kernel(obs, forecasts_sorted):
@@ -112,6 +120,53 @@ def crps_ensemble(obs, forecasts, crps_type: str = "skillspread", alpha: float =
     raise ValueError(f"Unknown CRPS crps_type {crps_type}")
 
 
+def crps_ensemble_manual_a2a(
+    obs,
+    forecasts,
+    quad_weight,
+    crps_type: str = "skillspread",
+    alpha: float = 1.0,
+    eps: float = 1e-5,
+):
+    """CRPS with the reference's manual ensemble<->spatial transpose
+    (ref crps_loss.py:372-380), as a shard_map over the active mesh.
+
+    forecasts: (B, E, C, H, W) with E sharded over "ensemble" and (H, W) over
+    ("h", "w"); obs: (B, C, H, W); quad_weight: (H, W) normalized quadrature.
+    Each device all-to-alls its member shard against its latitude rows, sorts
+    the full ensemble on a latitude slice, quadrature-sums its partial and
+    psums. Returns (B, C), replicated. Requires the local padded latitude
+    count to divide the ensemble axis size.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from makani_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.get_mesh()
+    ne = mesh.shape["ensemble"]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("batch", None, "h", "w"), P("batch", "ensemble", None, "h", "w"), P("h", "w")),
+        out_specs=P("batch", None),
+    )
+    def body(obs_l, ens_l, qw_l):
+        # exchange member shards against latitude rows: (B, El, C, Hl, Wl) ->
+        # (B, E, C, Hl/ne, Wl)
+        ens_x = jax.lax.all_to_all(ens_l, "ensemble", split_axis=3, concat_axis=1, tiled=True)
+        eidx = jax.lax.axis_index("ensemble")
+        chunk = obs_l.shape[-2] // ne
+        obs_x = jax.lax.dynamic_slice_in_dim(obs_l, eidx * chunk, chunk, axis=-2)
+        qw_x = jax.lax.dynamic_slice_in_dim(qw_l, eidx * chunk, chunk, axis=0)
+        crps = crps_ensemble(obs_x, jnp.moveaxis(ens_x, 1, -1), crps_type, alpha, eps)
+        part = jnp.sum(crps * qw_x, axis=(-2, -1))  # (B, C)
+        return jax.lax.psum(part, ("ensemble", "h", "w"))
+
+    return body(obs, forecasts, quad_weight)
+
+
 class CRPSLoss(GeometricBaseLoss):
     """Quadrature-averaged pointwise CRPS of an ensemble forecast
     (ref crps_loss.py:277-452). Returns (B, C)."""
@@ -124,9 +179,34 @@ class CRPSLoss(GeometricBaseLoss):
         self.alpha = alpha
         self.eps = eps
 
+    def _use_manual_a2a(self, forecasts) -> bool:
+        mode = os.environ.get("MAKANI_MANUAL_ENSEMBLE_A2A", "auto")
+        if mode == "off":
+            return False
+        from makani_tpu.parallel import mesh as pmesh
+
+        try:
+            mesh = pmesh.get_mesh()
+        except Exception:
+            return False
+        ne = mesh.shape["ensemble"]
+        if ne <= 1 or forecasts.shape[1] % ne != 0:
+            return False
+        # local padded latitude rows must split evenly across ensemble ranks
+        h_local = forecasts.shape[-2] // mesh.shape["h"]
+        return forecasts.shape[-2] % mesh.shape["h"] == 0 and h_local % ne == 0
+
     def __call__(self, forecasts, observations, wgt=None, **kwargs):
         if forecasts.ndim != 5:
             raise ValueError(f"forecasts must be 5D (B, E, C, H, W), got {forecasts.ndim}D")
+        if wgt is None and self._use_manual_a2a(forecasts):
+            qw = self.quadrature.quad_weight
+            if forecasts.shape[-2] > qw.shape[0] or forecasts.shape[-1] > qw.shape[1]:
+                qw = np.pad(qw, [(0, forecasts.shape[-2] - qw.shape[0]), (0, forecasts.shape[-1] - qw.shape[1])])
+            crps = crps_ensemble_manual_a2a(
+                observations, forecasts, jnp.asarray(qw), self.crps_type, self.alpha, self.eps
+            )
+            return crps.reshape(forecasts.shape[0], -1)
         ens_last = jnp.moveaxis(forecasts, 1, -1)  # (B, C, H, W, E)
         crps = crps_ensemble(observations, ens_last, self.crps_type, self.alpha, self.eps)
         if wgt is not None:

@@ -59,9 +59,11 @@ class MetricsHandler:
         self._sums = {}
         self._counts = np.zeros((S,), np.int64)
 
-    def compute_batch(self, prd, tar):
+    def compute_batch(self, prd, tar, mask=None):
         """Device-side per-batch metrics: prd/tar (B, C, H, W) or (B, E, C, H, W)
-        -> dict of (B, C) arrays. jit-friendly."""
+        -> dict of (B, C) arrays. jit-friendly. ``mask`` is an optional
+        quadrature-normalized spatial weight (B, C, H, W) — the reference's
+        mask side-dataset path (inferencer.py:596-605)."""
         out = {}
         quad = self.quadrature
         if prd.ndim == 5:
@@ -71,36 +73,36 @@ class MetricsHandler:
         clim = None if self.climatology is None else jnp.asarray(self.climatology)
         for m in self.metric_names:
             if m == "rmse":
-                out[m] = weighted_rmse(prdm, tar, quad)
+                out[m] = weighted_rmse(prdm, tar, quad, mask=mask)
             elif m == "l1":
-                out[m] = weighted_l1(prdm, tar, quad)
+                out[m] = weighted_l1(prdm, tar, quad, mask=mask)
             elif m == "acc":
-                out[m] = weighted_acc(prdm, tar, quad, clim=clim)
+                out[m] = weighted_acc(prdm, tar, quad, clim=clim, mask=mask)
             elif m == "crps" and prd.ndim == 5:
-                out[m] = ensemble_crps(prd, tar, quad)
+                out[m] = ensemble_crps(prd, tar, quad, mask=mask)
             elif m == "spread" and prd.ndim == 5:
-                out[m] = ensemble_spread(prd, quad)
+                out[m] = ensemble_spread(prd, quad, mask=mask)
             elif m == "ssr" and prd.ndim == 5:
-                spread = ensemble_spread(prd, quad)
-                rmse = weighted_rmse(prdm, tar, quad)
+                spread = ensemble_spread(prd, quad, mask=mask)
+                rmse = weighted_rmse(prdm, tar, quad, mask=mask)
                 out[m] = spread / (rmse + 1e-8)
             elif m == "rankhist" and prd.ndim == 5:
                 out[m] = ensemble_rank_histogram(prd, tar, quad)
         return out
 
-    def _batch_sums(self, prd, tar):
+    def _batch_sums(self, prd, tar, mask=None):
         """Jitted: per-batch metrics summed over the batch dim -> ((C,)-dict, n)."""
-        vals = self.compute_batch(prd, tar)
+        vals = self.compute_batch(prd, tar, mask=mask)
         return {m: jnp.sum(v, axis=0) for m, v in vals.items()}, prd.shape[0]
 
-    def update(self, prd, tar, step: int):
+    def update(self, prd, tar, step: int, mask=None):
         """Accumulate one validation batch at rollout step ``step``.
 
         The reduction over the batch runs on device inside jit, so only
         replicated per-channel sums reach the host — safe when ``prd``/``tar``
         are global arrays sharded across processes.
         """
-        sums, n = self._jit_batch_sums(prd, tar)
+        sums, n = self._jit_batch_sums(prd, tar, mask)
         for m, v in sums.items():
             v = np.asarray(jax.device_get(v))
             if m not in self._sums:
@@ -108,14 +110,30 @@ class MetricsHandler:
             self._sums[m][step] += v
         self._counts[step] += int(n)
 
-    def finalize(self) -> dict:
+    def finalize(self, reduce_over_processes: bool = False) -> dict:
         """Averaged rollout curves plus scalar summaries.
 
         Logs the full per-step rollout curve of each metric (channel-mean), the
         per-channel values at step 0 and at the final step — mirroring the
         reference's full rollout-curve logging (makani/utils/metric.py:651-746);
         channel-resolved full curves go to ``save()``.
+
+        ``reduce_over_processes``: sum the accumulators across jax processes —
+        used when initial conditions are split across hosts (the reference's
+        batch-rank split, inferencer.py:239-247).
         """
+        import jax
+
+        if reduce_over_processes and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered_counts = np.asarray(multihost_utils.process_allgather(jnp.asarray(self._counts)))
+            self._counts = gathered_counts.sum(axis=0)
+            for m in list(self._sums):
+                # fp32 on the wire (jax x64 is off); the (S, C) sums are small
+                g = np.asarray(multihost_utils.process_allgather(jnp.asarray(self._sums[m], jnp.float32)))
+                self._sums[m] = g.sum(axis=0).astype(np.float64)
+
         logs = {}
         counts = np.maximum(self._counts, 1)
         self.rollout_curves = {

@@ -26,23 +26,31 @@ def weighted_mean(x, quad):
     return quad(x)
 
 
-def weighted_rmse(prd, tar, quad):
-    return jnp.sqrt(quad(jnp.square(prd - tar)))
+def _mask_weight(x, mask):
+    """Apply an optional spatial mask to an integrand. The mask is expected to
+    be quadrature-normalized by the caller (the reference divides by its
+    quadrature integral, inferencer.py:602-605) so masked metrics stay
+    properly normalized."""
+    return x if mask is None else x * mask
 
 
-def weighted_l1(prd, tar, quad):
-    return quad(jnp.abs(prd - tar))
+def weighted_rmse(prd, tar, quad, mask=None):
+    return jnp.sqrt(quad(_mask_weight(jnp.square(prd - tar), mask)))
 
 
-def weighted_acc(prd, tar, quad, clim=None, eps: float = 1e-8):
+def weighted_l1(prd, tar, quad, mask=None):
+    return quad(_mask_weight(jnp.abs(prd - tar), mask))
+
+
+def weighted_acc(prd, tar, quad, clim=None, mask=None, eps: float = 1e-8):
     """Anomaly correlation coefficient vs climatology (ref functions.py)."""
     if clim is not None:
         pa = prd - clim
         ta = tar - clim
     else:
         pa, ta = prd, tar
-    num = quad(pa * ta)
-    den = jnp.sqrt(quad(jnp.square(pa)) * quad(jnp.square(ta)))
+    num = quad(_mask_weight(pa * ta, mask))
+    den = jnp.sqrt(quad(_mask_weight(jnp.square(pa), mask)) * quad(_mask_weight(jnp.square(ta), mask)))
     return num / (den + eps)
 
 
@@ -63,7 +71,7 @@ def _crps_kernel_sorted(ens_sorted, obs):
     return term1 - term2
 
 
-def ensemble_crps(ens, obs, quad, fair: bool = True):
+def ensemble_crps(ens, obs, quad, fair: bool = True, mask=None):
     """CRPS of an ensemble forecast.
 
     ens: (B, E, C, H, W); obs: (B, C, H, W). ``fair=True`` uses the unbiased
@@ -80,13 +88,13 @@ def ensemble_crps(ens, obs, quad, fair: bool = True):
         coeff = 2.0 * ranks - E + 1.0
         corr = jnp.sum(coeff * ens_last, axis=-1) * (1.0 / (E * E) - 1.0 / (E * (E - 1.0))) if E > 1 else 0.0
         crps = crps + corr
-    return quad(crps)
+    return quad(_mask_weight(crps, mask))
 
 
-def ensemble_spread(ens, quad, eps: float = 1e-8):
+def ensemble_spread(ens, quad, mask=None, eps: float = 1e-8):
     """sqrt of mean ensemble variance: (B, E, C, H, W) -> (B, C)."""
     var = jnp.var(ens, axis=1, ddof=1) if ens.shape[1] > 1 else jnp.zeros_like(ens[:, 0])
-    return jnp.sqrt(quad(var) + eps)
+    return jnp.sqrt(quad(_mask_weight(var, mask)) + eps)
 
 
 def ensemble_rank_histogram(ens, obs, quad):

@@ -193,3 +193,38 @@ def test_wb2_convert_gating():
 
     with pytest.raises(ImportError, match="xarray"):
         m.wb2_to_makani("store.zarr", "/tmp/out", ["t2m"], [2000])
+
+
+def test_merge_wb2_dataset_transfers_channels(tmp_path):
+    """Channel transfer between annotated files matches channels by NAME and
+    leaves other slots untouched (ref data_process/merge_wb2_dataset.py)."""
+    import h5py
+
+    from data_process.merge_wb2_dataset import transfer_channels
+
+    a, b = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    rng = np.random.RandomState(0)
+    src = rng.randn(10, 3, 4, 8).astype(np.float32)
+    with h5py.File(a, "w") as f:
+        f.create_dataset("fields", data=src)
+        f.create_dataset("channel", data=np.array(["u10m", "v10m", "t2m"], dtype="S"))
+    with h5py.File(b, "w") as f:
+        f.create_dataset("fields", data=np.zeros((10, 3, 4, 8), np.float32))
+        f.create_dataset("channel", data=np.array(["t2m", "u10m", "xtra"], dtype="S"))
+
+    transfer_channels(a, b, ["u10m", "t2m"], batch_size=4)
+
+    with h5py.File(b) as f:
+        out = f["fields"][...]
+    np.testing.assert_array_equal(out[:, 1], src[:, 0])
+    np.testing.assert_array_equal(out[:, 0], src[:, 2])
+    assert (out[:, 2] == 0).all()
+
+    # sample-count mismatch is rejected
+    with h5py.File(str(tmp_path / "c.h5"), "w") as f:
+        f.create_dataset("fields", data=np.zeros((5, 3, 4, 8), np.float32))
+        f.create_dataset("channel", data=np.array(["u10m", "v10m", "t2m"], dtype="S"))
+    import pytest
+
+    with pytest.raises(IndexError):
+        transfer_channels(a, str(tmp_path / "c.h5"), ["u10m"])
