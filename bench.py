@@ -51,7 +51,9 @@ def main():
 
     nlat = int(os.environ.get("BENCH_NLAT", 361))
     nlon = int(os.environ.get("BENCH_NLON", 720))
-    batch = int(os.environ.get("BENCH_BATCH", 2))
+    # B=3 is the measured single-chip sweet spot with bf16 activations
+    # (B=2: 11.27, B=3: 11.79, B=4: 11.60 samples/s — PERF.md round 2)
+    batch = int(os.environ.get("BENCH_BATCH", 3))
     embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
     steps = int(os.environ.get("BENCH_STEPS", 8))
@@ -95,7 +97,10 @@ def main():
     tar = jnp.asarray(rng.randn(batch, 73, nlat, nlon).astype(np.float32))
 
     model_params = model.init(jax.random.PRNGKey(0), x, zen)
-    tx = optax.adam(1e-3)
+    # bf16 Adam first moment by default: halves the m-state HBM footprint and
+    # traffic (+4.4% measured; nu stays fp32). BENCH_MU_DTYPE=float32 reverts.
+    mu_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[os.environ.get("BENCH_MU_DTYPE", "bfloat16")]
+    tx = optax.adam(1e-3, mu_dtype=mu_dtype)
     opt_state = tx.init(model_params)
 
     from functools import partial

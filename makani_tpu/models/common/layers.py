@@ -60,15 +60,25 @@ class Conv1x1(nn.Module):
         x = x.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        # optional fp8 quantized matmul path (TE-recipe equivalent; hardware
+        # fp8 on v6e+, emulated upcast elsewhere — ops/fp8.py)
+        from makani_tpu.ops.fp8 import fp8_einsum, fp8_enabled
+
+        def cmix(eq, xx):
+            if fp8_enabled():
+                return fp8_einsum(eq, xx, kernel, out_dtype=self.dtype)
+            return jnp.einsum(eq, xx, kernel.astype(self.dtype))
+
         if self.channels_last:
             x = x.reshape(*x.shape[:-1], g, fan_in)
-            y = jnp.einsum("...gi,gio->...go", x, kernel.astype(self.dtype))
+            y = cmix("...gi,gio->...go", x)
             y = y.reshape(*y.shape[:-2], self.features)
             if self.use_bias:
                 y = y + bias.astype(self.dtype)
             return y
         x = x.reshape(x.shape[0], g, fan_in, *x.shape[2:])
-        y = jnp.einsum("bgihw,gio->bgohw", x, kernel.astype(self.dtype))
+        y = cmix("bgihw,gio->bgohw", x)
         y = y.reshape(y.shape[0], self.features, *y.shape[3:])
         if self.use_bias:
             y = y + bias.astype(self.dtype)[None, :, None, None]

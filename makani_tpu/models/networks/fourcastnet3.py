@@ -95,11 +95,12 @@ class DiscreteContinuousEncoder(nn.Module):
     act_layer: Callable = jax.nn.gelu
     groups: int = 1
     use_bias: bool = False
+    theta_cutoff: Optional[float] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        theta_cutoff = compute_cutoff_radius(self.inp_shape[0], self.kernel_shape, "piecewise linear")
+        theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.inp_shape[0], self.kernel_shape, "piecewise linear")
         conv_op = DiscoConvS2(
             self.inp_shape,
             self.out_shape,
@@ -152,6 +153,7 @@ class DiscreteContinuousDecoder(nn.Module):
     groups: int = 1
     use_bias: bool = False
     upsample_sht: bool = False
+    theta_cutoff: Optional[float] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -180,7 +182,7 @@ class DiscreteContinuousDecoder(nn.Module):
             resample = ResampleS2(*self.inp_shape, *self.out_shape, grid_in=self.grid_in, grid_out=self.grid_out)
             x = resample(x)
 
-        theta_cutoff = compute_cutoff_radius(self.out_shape[0], self.kernel_shape, "piecewise linear")
+        theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.out_shape[0], self.kernel_shape, "piecewise linear")
         conv_op = DiscoConvS2(
             self.out_shape,
             self.out_shape,
@@ -219,6 +221,7 @@ class FCN3Block(nn.Module):
     kernel_shape: Sequence[int] = (3, 3)
     basis_norm_mode: str = "mean"
     use_bias: bool = False
+    theta_cutoff: Optional[float] = None
     dtype: Any = jnp.float32
 
     def _norm(self, name):
@@ -259,7 +262,7 @@ class FCN3Block(nn.Module):
                 name="global_conv",
             )(x)
         elif self.conv_type == "local":
-            theta_cutoff = 2 * compute_cutoff_radius(self.internal_shape[0], self.kernel_shape, "piecewise linear")
+            theta_cutoff = self.theta_cutoff or 2 * compute_cutoff_radius(self.internal_shape[0], self.kernel_shape, "piecewise linear")
             conv_op = DiscoConvS2(
                 self.internal_shape,
                 self.internal_shape,
@@ -336,6 +339,9 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
     big_skip: bool = False
     clamp_water: bool = False
     use_bias: bool = False
+    # cutoff heuristic: "nlat" (FCN3, fourcastnet3.py:47-50) or "lmax"
+    # (FCN3.1, fourcastnet3_1.py:55-57: kernel_shape[0] * pi / lmax)
+    theta_cutoff_mode: str = "nlat"
     checkpointing_level: int = 0
     # optional normalization stats for water clamping offsets
     water_means: Optional[Any] = None
@@ -355,6 +361,11 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
             modes = tuple(self.max_modes)
         else:
             modes = (int(h * self.hard_thresholding_fraction), int((w // 2 + 1) * self.hard_thresholding_fraction))
+
+        # FCN3.1 lmax-based cutoff override (None keeps the per-module nlat heuristic)
+        t_cut = None
+        if self.theta_cutoff_mode == "lmax":
+            t_cut = self.kernel_shape[0] * math.pi / float(max(modes[0], 1))
 
         # internal-grid SHT pair for the global blocks
         _, _, sht, isht = build_spectral_transforms(
@@ -396,6 +407,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 act_layer=act,
                 groups=math.gcd(n_atmo, self.atmo_embed_dim),
                 use_bias=self.use_bias,
+                theta_cutoff=t_cut,
                 dtype=self.dtype,
                 name="atmo_encoder",
             )(xa)
@@ -414,6 +426,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 act_layer=act,
                 groups=math.gcd(n_surf, self.surf_embed_dim),
                 use_bias=self.use_bias,
+                theta_cutoff=t_cut,
                 dtype=self.dtype,
                 name="surf_encoder",
             )(x[:, np.asarray(surf_chans)])
@@ -435,6 +448,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 act_layer=act,
                 groups=math.gcd(n_aux, self.aux_embed_dim),
                 use_bias=self.use_bias,
+                theta_cutoff=t_cut,
                 dtype=self.dtype,
                 name="aux_encoder",
             )(x[:, np.asarray(aux_chans)])
@@ -468,6 +482,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 kernel_shape=kernel_shape,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_bias=self.use_bias,
+                theta_cutoff=t_cut,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(z, deterministic=deterministic)
@@ -489,6 +504,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
             groups=math.gcd(n_atmo, self.atmo_embed_dim),
             use_bias=self.use_bias,
             upsample_sht=self.upsample_sht,
+            theta_cutoff=t_cut,
             dtype=self.dtype,
             name="atmo_decoder",
         )(za)
@@ -508,6 +524,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 groups=math.gcd(n_surf, self.surf_embed_dim),
                 use_bias=self.use_bias,
                 upsample_sht=self.upsample_sht,
+                theta_cutoff=t_cut,
                 dtype=self.dtype,
                 name="surf_decoder",
             )(z[:, -self.surf_embed_dim :])

@@ -46,7 +46,11 @@ _ACTIVATIONS = {
 }
 
 
-_TRANSFORM_CACHE: dict = {}
+# bounded LRU: linen re-binds setup on every call so the tables must be
+# reused, but long multi-config processes (test suites) would otherwise
+# accumulate hundreds of MB of fp32 tables across configs/meshes
+_TRANSFORM_CACHE: "dict" = {}
+_TRANSFORM_CACHE_MAX = 8
 
 
 def build_spectral_transforms(
@@ -76,11 +80,16 @@ def build_spectral_transforms(
         pmesh.get_mesh() if pmesh.is_distributed("spatial") else None,
     )
     if key in _TRANSFORM_CACHE:
-        return _TRANSFORM_CACHE[key]
+        # move-to-end for LRU semantics
+        out = _TRANSFORM_CACHE.pop(key)
+        _TRANSFORM_CACHE[key] = out
+        return out
     out = _build_spectral_transforms(
         spectral_transform, inp_shape, out_shape, internal_shape, modes, model_grid_type, sht_grid_type
     )
     _TRANSFORM_CACHE[key] = out
+    while len(_TRANSFORM_CACHE) > _TRANSFORM_CACHE_MAX:
+        _TRANSFORM_CACHE.pop(next(iter(_TRANSFORM_CACHE)))
     return out
 
 

@@ -80,7 +80,7 @@ def _basis_values(r, alpha, kernel_shape, theta_cutoff):
     return np.stack(out)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=16)  # bounded: psi tables are tens of MB per config
 def _precompute_psi(in_shape, out_shape, kernel_shape, grid_in, grid_out, theta_cutoff, basis_norm_mode):
     """Precompute psi tables for all phases.
 

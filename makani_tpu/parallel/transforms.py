@@ -129,10 +129,11 @@ class DistributedRealSHT(_DistBase):
             # x local: (B, C, K_loc, W_loc); table local: (M_loc, L_pad, K_loc)
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xr = fft_compat.rfft_s(x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward")
-            if self.mmax_pad <= n_half:
-                xr = xr[..., : self.mmax_pad, :]
-            else:
+            # m-truncation happens inside the DFT GEMM (fft_compat.rfft_s mout)
+            xr = fft_compat.rfft_s(
+                x.astype(jnp.float32), n=self.nlon, axis=-1, norm="forward", mout=min(self.mmax_pad, n_half)
+            )
+            if self.mmax_pad > n_half:
                 xr = jnp.pad(xr, [(0, 0)] * (xr.ndim - 2) + [(0, self.mmax_pad - n_half), (0, 0)])
             # xr: (B, C', K_loc, M_pad, 2)
             if w > 1:
@@ -186,10 +187,9 @@ class DistributedInverseRealSHT(_DistBase):
             xk = jnp.einsum("bclmr,mlk->bckmr", cr, table, precision=transform_precision())
             if w > 1:
                 xk = lax.all_to_all(xk, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            if self.mmax_pad <= n_half:
-                xk = jnp.pad(xk, [(0, 0)] * (xk.ndim - 2) + [(0, n_half - self.mmax_pad), (0, 0)])
-            else:
+            if self.mmax_pad > n_half:
                 xk = xk[..., :n_half, :]
+            # truncated m multiplies the row-sliced inverse table (irfft_s)
             x = fft_compat.irfft_s(xk, n=self.nlon, axis=-1, norm="forward")
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
@@ -237,10 +237,8 @@ class DistributedRealFFT2(_DistBase):
         def forward(x):
             if w > 1:
                 x = lax.all_to_all(x, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            xr = fft_compat.rfft_s(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho")
-            if self.mmax_pad <= n_half:
-                xr = xr[..., : self.mmax_pad, :]
-            else:
+            xr = fft_compat.rfft_s(x.astype(jnp.float32), n=nlon, axis=-1, norm="ortho", mout=min(self.mmax_pad, n_half))
+            if self.mmax_pad > n_half:
                 xr = jnp.pad(xr, [(0, 0)] * (xr.ndim - 2) + [(0, self.mmax_pad - n_half), (0, 0)])
             if w > 1:
                 xr = lax.all_to_all(xr, self.w_axis, split_axis=3, concat_axis=1, tiled=True)
@@ -297,10 +295,9 @@ class DistributedInverseRealFFT2(_DistBase):
                 yr = lax.all_to_all(yr, self.h_axis, split_axis=2, concat_axis=1, tiled=True)
             if w > 1:
                 yr = lax.all_to_all(yr, self.w_axis, split_axis=1, concat_axis=3, tiled=True)
-            if self.mmax_pad <= n_half:
-                yr = jnp.pad(yr, [(0, 0)] * (yr.ndim - 2) + [(0, n_half - self.mmax_pad), (0, 0)])
-            else:
+            if self.mmax_pad > n_half:
                 yr = yr[..., :n_half, :]
+            # truncated m multiplies the row-sliced inverse table (irfft_s)
             y = fft_compat.irfft_s(yr, n=nlon, axis=-1, norm="ortho")
             if w > 1:
                 y = lax.all_to_all(y, self.w_axis, split_axis=3, concat_axis=1, tiled=True)

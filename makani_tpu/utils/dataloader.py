@@ -189,6 +189,7 @@ def get_dataloader(params, location: str, mode: str = "train", final_eval: bool 
                     shuffle=train,
                     seed=params.get("seed", 333),
                     num_workers=params.get("num_data_workers", 2),
+                    row_slice=row_slice,
                 ),
                 dataset,
             )

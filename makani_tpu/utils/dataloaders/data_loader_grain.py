@@ -34,12 +34,27 @@ class _SampleSource:
 class GrainDataLoader:
     """Batched, shuffled, prefetching iterator with the BatchIterator interface."""
 
-    def __init__(self, dataset, batch_size: int, shuffle: bool = True, seed: int = 333, num_workers: int = 4, prefetch: int = 2, drop_last: bool = True):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 333,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        row_slice=None,
+    ):
         import grain.python as grain
 
         self.dataset = dataset
         self.batch_size = batch_size
+        self.global_batch_size = batch_size
         self.epoch = 0
+        # multi-host: this process's rows of each global batch (identical
+        # shuffles across processes partition the batch exactly)
+        self.row_slice = row_slice
+        self.process_local = row_slice is not None
 
         self._grain = grain
         source = _SampleSource(dataset)
@@ -73,6 +88,11 @@ class GrainDataLoader:
         from makani_tpu.utils.dataloader import _assemble
 
         for samples in it:
+            if self.row_slice is not None:
+                if isinstance(samples, dict):
+                    samples = {k: v[self.row_slice] for k, v in samples.items()}
+                else:
+                    samples = list(samples)[self.row_slice]
             # grain batches dict-of-arrays with a leading batch dim already
             if isinstance(samples, dict):
                 batch = samples

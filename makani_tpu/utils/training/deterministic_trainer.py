@@ -187,47 +187,42 @@ class Trainer:
 
         return jax.tree_util.tree_map(fix, opt_state)
 
-    def _put_batch(self, batch):
+    def _put_global(self, x, sharding, global_rows: int):
+        """Place a (possibly process-local) host array onto the mesh.
+
+        Handles the padded-latitude convention (721 rows over h=2 ship as
+        722; transforms, quadrature losses and metrics zero-weight the pads)
+        and, under multi-host, assembles the global jax.Array from this
+        process's rows/(h, w) IO tile via make_array_from_process_local_data
+        (ref makani/utils/dataloader.py io_grid + DistributedSampler).
+        """
         from makani_tpu.parallel import multihost
 
-        # padded-latitude convention when spatially sharded: 721 rows over h=2
-        # ship as 722; transforms, quadrature losses and metrics zero-weight
-        # the pad rows
         nh, nw = self.mesh.shape["h"], self.mesh.shape["w"]
         H, W = self.params.get("img_shape_x"), self.params.get("img_shape_y")
         Hp, Wp = H + (-H) % nh, W + (-W) % nw
+        x = np.asarray(x)
 
         if jax.process_count() > 1:
-            # batches arrive process-local from the loader (its rows of the
-            # global batch, its (h, w) IO tile — ref makani/utils/dataloader.py
-            # io_grid + DistributedSampler); assemble the global jax.Array.
-            # The process owning the last tile pads it to the sharded extent.
-            B = getattr(self.train_loader, "global_batch_size", batch["inp"].shape[0])
+            # the process owning the last (h, w) tile pads it to the sharded extent
             tx = tuple(self.params.get("io_tile_x", (0, H)) or (0, H))
             ty = tuple(self.params.get("io_tile_y", (0, W)) or (0, W))
             pad_h = (Hp - H) if tx[1] == H else 0
             pad_w = (Wp - W) if ty[1] == W else 0
-
-            def put(x, spec):
-                x = np.asarray(x)
-                if pad_h or pad_w:
-                    x = np.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad_h), (0, pad_w)])
-                gshape = (B, *x.shape[1:-2], Hp, Wp)
-                return multihost.make_global_array(x, self.mesh, spec, gshape)
-
-            inp = put(batch["inp"], self.data_sharding.spec)
-            tar = put(batch["tar"], self.data_sharding.spec)
-            zen = put(batch["zen"], self.zen_sharding.spec) if "zen" in batch else None
-            return inp, tar, zen
+            if pad_h or pad_w:
+                x = np.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad_h), (0, pad_w)])
+            gshape = (global_rows, *x.shape[1:-2], Hp, Wp)
+            return multihost.make_global_array(x, self.mesh, sharding.spec, gshape)
 
         if Hp != H or Wp != W:
-            batch = {
-                k: np.pad(np.asarray(v), [(0, 0)] * (v.ndim - 2) + [(0, Hp - v.shape[-2]), (0, Wp - v.shape[-1])])
-                for k, v in batch.items()
-            }
-        inp = jax.device_put(batch["inp"], self.data_sharding)
-        tar = jax.device_put(batch["tar"], self.data_sharding)
-        zen = jax.device_put(batch["zen"], self.zen_sharding) if "zen" in batch else None
+            x = np.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, Hp - x.shape[-2]), (0, Wp - x.shape[-1])])
+        return jax.device_put(x, sharding)
+
+    def _put_batch(self, batch):
+        B = getattr(self.train_loader, "global_batch_size", batch["inp"].shape[0])
+        inp = self._put_global(batch["inp"], self.data_sharding, B)
+        tar = self._put_global(batch["tar"], self.data_sharding, B)
+        zen = self._put_global(batch["zen"], self.zen_sharding, B) if "zen" in batch else None
         return inp, tar, zen
 
     def train_one_epoch(self):

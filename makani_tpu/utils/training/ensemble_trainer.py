@@ -115,11 +115,25 @@ class EnsembleTrainer(Trainer):
         losses = []
         n_samples = 0
         E = self.ensemble_size
+        if jax.process_count() > 1 and self.mesh.shape["ensemble"] > 1:
+            # multi-host ensemble requires whole ensembles per process: the
+            # loader slices the unfolded batch, so a cross-process ensemble
+            # axis would interleave members across hosts
+            ens_axis = list(self.mesh.axis_names).index("ensemble")
+            procs_along_ens = {
+                d.process_index for d in np.moveaxis(self.mesh.devices, ens_axis, 0).reshape(self.mesh.shape["ensemble"], -1)[:, 0]
+            }
+            if len(procs_along_ens) > 1:
+                raise NotImplementedError(
+                    "multi-host training with the ensemble axis spanning processes is not supported; "
+                    "place whole ensembles within a host (ensemble inside, batch across hosts)"
+                )
         for batch in self.train_loader:
             inp, tar, unp = self._prepare_ensemble_batch(batch)
-            inp = jax.device_put(inp, self.data_sharding)
-            tar = jax.device_put(tar, self.tar_sharding)
-            unp = jax.device_put(unp, self.zen_sharding)
+            gb = getattr(self.train_loader, "global_batch_size", batch["inp"].shape[0])
+            inp = self._put_global(inp, self.data_sharding, gb * self.ensemble_size)
+            tar = self._put_global(tar, self.tar_sharding, gb)
+            unp = self._put_global(unp, self.zen_sharding, gb * self.ensemble_size)
             loss, self.opt_state, self.model_params = self._ens_train_step(
                 self.model_params, self.opt_state, inp, tar, unp
             )

@@ -113,13 +113,21 @@ def get_optimizer(params, model_params, steps_per_epoch: int = 1):
     eps = params.get("optimizer_eps", 1e-8)
     wd = params.get("weight_decay", 0.0)
 
+    # optional low-precision first moment: halves the Adam m-state memory and
+    # its HBM traffic (the dhconv moments are ~1.2 GB fp32 at flagship scale)
+    mu_dtype = {"bfloat16": jnp.bfloat16, "float32": None, None: None}[params.get("optimizer_mu_dtype", None)]
+
     if opt_type in ("Adam", "FusedAdam"):
         if wd > 0:
-            base = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_no_decay_mask(model_params))
+            base = optax.adamw(
+                schedule, b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype, weight_decay=wd, mask=_no_decay_mask(model_params)
+            )
         else:
-            base = optax.adam(schedule, b1=beta1, b2=beta2, eps=eps)
+            base = optax.adam(schedule, b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype)
     elif opt_type == "AdamW":
-        base = optax.adamw(schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=wd, mask=_no_decay_mask(model_params))
+        base = optax.adamw(
+            schedule, b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype, weight_decay=wd, mask=_no_decay_mask(model_params)
+        )
     elif opt_type == "SGD":
         base = optax.sgd(schedule, momentum=params.get("optimizer_momentum", 0.0), nesterov=params.get("optimizer_nesterov", False))
     elif opt_type in ("Muon", "SIRFShampoo"):

@@ -37,6 +37,10 @@ __all__ = ["StochasticTrainer"]
 
 
 class StochasticTrainer:
+    """Single-host trainer (multi-host support lives in the deterministic /
+    ensemble trainers; under jax.distributed this one fails loudly at
+    device_put rather than mis-assembling batches)."""
+
     def __init__(self, params, world_rank: int = 0):
         self.params = params
         self.world_rank = world_rank
