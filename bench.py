@@ -42,6 +42,12 @@ def main():
     set_transform_precision(os.environ.get("MAKANI_TRANSFORM_PRECISION", "default"))
 
     import jax
+
+    # the axon plugin ignores JAX_PLATFORMS; forcing another platform (CPU
+    # smoke tests of the bench graph) needs the config knob
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     import jax.numpy as jnp
     import optax
 
@@ -100,30 +106,61 @@ def main():
     # bf16 Adam first moment by default: halves the m-state HBM footprint and
     # traffic (+4.4% measured; nu stays fp32). BENCH_MU_DTYPE=float32 reverts.
     mu_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[os.environ.get("BENCH_MU_DTYPE", "bfloat16")]
-    tx = optax.adam(1e-3, mu_dtype=mu_dtype)
+    # round-3 byte cuts (both default-on; set =0 to ablate):
+    #   BENCH_NU_FACTORED — Adafactor-style factored second moment for the big
+    #     weight stacks (kills ~0.6 GB/step of nu read+write traffic)
+    #   BENCH_PARAM_MIRROR — carry a bf16 weight mirror across steps so the
+    #     forward reads half the param bytes and the per-step fp32->bf16 cast
+    #     of every weight disappears; the fp32 master lives with the optimizer
+    nu_factored = os.environ.get("BENCH_NU_FACTORED", "1") == "1"
+    param_mirror = os.environ.get("BENCH_PARAM_MIRROR", "1") == "1"
+
+    from makani_tpu.utils.training.optimizer import cast_params, scale_by_adam_factored
+
+    if nu_factored:
+        tx = optax.chain(scale_by_adam_factored(mu_dtype=mu_dtype), optax.scale_by_learning_rate(1e-3))
+    else:
+        tx = optax.adam(1e-3, mu_dtype=mu_dtype)
     opt_state = tx.init(model_params)
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(p, s, inp, target, z):
-        def loss_fn(q):
-            pred = model.apply(q, inp, z, train=True)
-            return loss_obj(pred, target, inp=inp, train=True)
+    def loss_fn(q, inp, target, z):
+        pred = model.apply(q, inp, z, train=True)
+        return loss_obj(pred, target, inp=inp, train=True)
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = tx.update(grads, s, p)
-        return loss, optax.apply_updates(p, updates), s
+    if param_mirror:
+        mirror = cast_params(model_params, jnp.bfloat16)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(pc, master, s, inp, target, z):
+            loss, grads = jax.value_and_grad(loss_fn)(pc, inp, target, z)
+            g32 = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            updates, s = tx.update(g32, s, master)
+            master = optax.apply_updates(master, updates)
+            pc = cast_params(master, jnp.bfloat16)
+            return loss, pc, master, s
+
+        carry = (mirror, model_params, opt_state)
+    else:
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(p, s, inp, target, z):
+            loss, grads = jax.value_and_grad(loss_fn)(p, inp, target, z)
+            updates, s = tx.update(grads, s, p)
+            return loss, optax.apply_updates(p, updates), s
+
+        carry = (model_params, opt_state)
 
     for _ in range(warmup):
-        loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
+        loss, *carry = train_step(*carry, x, tar, zen)
     # force a host readback: on the remote-TPU relay, block_until_ready
     # returns before execution completes, so only a value fetch synchronizes
     float(loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        loss, model_params, opt_state = train_step(model_params, opt_state, x, tar, zen)
+        loss, *carry = train_step(*carry, x, tar, zen)
     final_loss = float(loss)
     dt = (time.perf_counter() - t0) / steps
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
@@ -134,7 +171,7 @@ def main():
     flops_per_sample = None
     mfu = None
     try:
-        ca = train_step.lower(model_params, opt_state, x, tar, zen).compile().cost_analysis()
+        ca = train_step.lower(*carry, x, tar, zen).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))

@@ -77,11 +77,15 @@ def _conv1x1(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(w[:, :, 0, 0], (1, 0)))[None]
 
 
-def convert_sfno_state_dict(state: Dict[str, np.ndarray], encoder_layers: int = 1) -> dict:
+def convert_sfno_state_dict(state: Dict[str, np.ndarray], encoder_layers: int = 1, channels_last: bool = True) -> dict:
     """Map a makani SFNO/FNO state dict onto the makani_tpu param pytree.
 
     Returns a nested dict matching ``SingleStepWrapper``/``MultiStepWrapper``
     variables: {"params": {"model": {...}}}.
+
+    ``channels_last``: layout of the *target* model. The only
+    layout-dependent parameter is a direct ``pos_embed`` — torch stores it
+    (1, C, H, W); the channels-last model (the default) stores (1, H, W, C).
     """
     model: dict = {}
 
@@ -138,7 +142,10 @@ def convert_sfno_state_dict(state: Dict[str, np.ndarray], encoder_layers: int = 
     if "model.residual_transform.weight" in state:
         put(("residual_transform", "kernel"), _conv1x1(state["model.residual_transform.weight"]))
     if "model.pos_embed" in state:
-        put(("pos_embed",), state["model.pos_embed"])
+        pe = state["model.pos_embed"]
+        if channels_last and pe.ndim == 4:
+            pe = np.ascontiguousarray(np.transpose(pe, (0, 2, 3, 1)))  # NCHW -> NHWC
+        put(("pos_embed",), pe)
 
     return {"params": {"model": model}}
 
@@ -358,6 +365,11 @@ def main():
     parser.add_argument("--nettype", default="SFNO", help="SFNO/FNO or FCN3/SNO family")
     parser.add_argument("--yaml_config", default=None)
     parser.add_argument("--config", default=None)
+    parser.add_argument(
+        "--channels_first",
+        action="store_true",
+        help="target model uses channels-first internals (channels_last=False); affects pos_embed layout",
+    )
     args = parser.parse_args()
 
     import os
@@ -373,7 +385,7 @@ def main():
             target = target_shapes_for(YParams(args.yaml_config, args.config))
         params = convert_disco_state_dict(state, target_shapes=target)
     else:
-        params = convert_sfno_state_dict(state)
+        params = convert_sfno_state_dict(state, channels_last=not args.channels_first)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(args.output), params)
     ckptr.wait_until_finished()

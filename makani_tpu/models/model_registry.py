@@ -181,7 +181,16 @@ def get_model(params, multistep: bool = False):
         kwargs["filter_basis_norm_mode"] = params.get("filter_basis_norm_mode")
     if "dtype" in fields:
         compute_dtype = params.get("compute_dtype", "float32")
-        kwargs["dtype"] = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+        if compute_dtype == "fp8":
+            # fp8 pointwise GEMMs (TE-recipe equivalent, ops/fp8.py) on a bf16
+            # activation stream — the same split as the reference's
+            # "bf16-fp8recipe" AMP mode (ref utils/precision.py:89-167)
+            from makani_tpu.ops import fp8 as _fp8
+
+            _fp8.set_fp8(True)
+            kwargs["dtype"] = jnp.bfloat16
+        else:
+            kwargs["dtype"] = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
 
     model = handle(**{k: v for k, v in kwargs.items() if k in fields})
 

@@ -10,9 +10,7 @@ functional (jit-pure) rather than module-stateful:
     float8_e4m3fn (the forward dtype of TE's HYBRID recipe),
   * ``fp8_dot(a, b)``  -> dot_general on the fp8 operands with a
     ``preferred_element_type`` of fp32, descaled by the product of scales,
-  * ``fp8_einsum``     -> the einsum form used by the pointwise layers,
-  * ``amax_update``    -> the delayed-scaling running amax (EMA), for callers
-    that thread quantization state across steps.
+  * ``fp8_einsum``     -> the einsum form used by the pointwise layers.
 
 On TPU generations with native fp8 MXU support (v6e+/Trillium) XLA lowers
 these dots to fp8 hardware paths; on earlier chips (v5e/v5p) XLA emulates via
@@ -29,15 +27,27 @@ import os
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fp8_enabled", "quantize", "dequantize_scale", "fp8_dot", "fp8_einsum", "amax_update", "FP8_MAX"]
+__all__ = ["fp8_enabled", "set_fp8", "quantize", "dequantize_scale", "fp8_dot", "fp8_einsum", "FP8_MAX"]
 
 # float8_e4m3fn: max finite value 448 (no inf; NaN only)
 FP8_MAX = 448.0
 _FP8_DTYPE = jnp.float8_e4m3fn
 
+# config-driven switch (compute_dtype: "fp8" in the recipe YAML flips it via
+# model_registry); the env var remains as an override for ablations
+_FP8_ON = False
+
+
+def set_fp8(on: bool):
+    global _FP8_ON
+    _FP8_ON = bool(on)
+
 
 def fp8_enabled() -> bool:
-    return os.environ.get("MAKANI_FP8", "0") in ("1", "true", "on")
+    env = os.environ.get("MAKANI_FP8", None)
+    if env is not None:
+        return env in ("1", "true", "on")
+    return _FP8_ON
 
 
 def quantize(x: jnp.ndarray, amax: jnp.ndarray | None = None):
@@ -74,6 +84,8 @@ def fp8_einsum(eq: str, a: jnp.ndarray, b: jnp.ndarray, amax_a=None, amax_b=None
     return (out * dequantize_scale(sa, sb)).astype(out_dtype)
 
 
-def amax_update(amax_hist: jnp.ndarray, x: jnp.ndarray, decay: float = 0.9) -> jnp.ndarray:
-    """Delayed-scaling running amax (EMA over steps, TE-recipe style)."""
-    return decay * amax_hist + (1.0 - decay) * jnp.max(jnp.abs(x.astype(jnp.float32)))
+# NOTE: TE's *delayed* scaling (a running amax history across steps) exists on
+# GPU because computing the amax inline costs an extra kernel launch before
+# every GEMM. On TPU, XLA fuses the abs-max reduction into the quantize, so
+# just-in-time per-tensor scaling (the default of quantize()) is free and
+# strictly more accurate — there is deliberately no amax-history state here.

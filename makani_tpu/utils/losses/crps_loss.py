@@ -138,7 +138,7 @@ def crps_ensemble_manual_a2a(
     psums. Returns (B, C), replicated. Requires the local padded latitude
     count to divide the ensemble axis size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from makani_tpu.parallel import mesh as pmesh

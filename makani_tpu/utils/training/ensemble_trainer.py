@@ -62,6 +62,12 @@ class EnsembleTrainer(Trainer):
             noise_cfg["n_channels"] = len(self.preprocessor.perturb_channels)
         self.noise = build_noise(noise_cfg, img_shape, num_time_steps=1)
         self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 1)
+        # distinct global batch rows on different hosts must receive
+        # independent perturbations: fold the process index into the stream
+        # (the reference seeds per rank, preprocessor.py:154-167); noise is
+        # exogenous per-sample, so per-process streams are safe
+        if jax.process_count() > 1:
+            self._noise_key = jax.random.fold_in(self._noise_key, jax.process_index())
         self._ens_train_step = self._build_ens_train_step()
 
         # targets are NOT ensemble-folded: they shard over the batch axis only,
@@ -189,16 +195,20 @@ class EnsembleTrainer(Trainer):
             unp = jnp.concatenate([zen, noise_seq], axis=2) if zen is not None else noise_seq
 
             inpt = inp
+            step_losses = []
             for step in range(S):
                 uwin = unp[:, step : step + T] if unp.shape[1] >= step + T else unp[:, -T:]
                 pred = self._eval_step(self.model_params, inpt, uwin)
                 pred_e = fold_ensemble(pred, E)
                 tstep = tar[:, step * n_out : (step + 1) * n_out]
                 self.metrics.update(pred_e, tstep, step)
-                if step == 0:
-                    valid_losses.append(self.loss_obj(pred_e, tstep, train=False))
+                # accumulate the loss over the whole autoregressive rollout
+                # (ref ensemble_trainer.py validates every step), matching the
+                # deterministic trainer
+                step_losses.append(self.loss_obj(pred_e, tstep, train=False))
                 if step < S - 1:
                     inpt = self.preprocessor.append_history(inpt, pred, step)
+            valid_losses.append(jnp.mean(jnp.stack(step_losses)))
         logs = self.metrics.finalize()
         logs["valid_loss"] = float(jnp.mean(jnp.stack(valid_losses))) if valid_losses else float("nan")
         return logs

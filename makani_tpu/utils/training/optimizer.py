@@ -10,13 +10,132 @@ gradient-norm clipping.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["get_optimizer", "get_schedule"]
+__all__ = ["get_optimizer", "get_schedule", "scale_by_adam_factored", "cast_params"]
+
+
+# ---------------------------------------------------------------------------
+# Adam with an Adafactor-style factored second moment.
+#
+# The SFNO flagship's dhconv weight stacks are (embed, embed, L) tensors whose
+# full fp32 Adam nu is ~0.6 GB of HBM *read + written every step* on top of the
+# storage. Factoring nu into row/column EMA means (Adafactor, Shazeer & Stern
+# 2018) cuts that state to O(embed * L) while keeping Adam's first moment and
+# update rule — the byte cut the bandwidth-bound step needs (PERF.md roofline;
+# ref exposes the analogous memory-lean option as SIRFShampoo,
+# makani/utils/driver.py:702-754).
+# ---------------------------------------------------------------------------
+
+
+def _factored_dims(shape, min_dim_size_to_factor: int):
+    """Two largest axes to factor the second moment over, or None."""
+    if len(shape) < 2:
+        return None
+    sorted_dims = np.argsort(shape)
+    if shape[sorted_dims[-2]] < min_dim_size_to_factor:
+        return None
+    return int(sorted_dims[-2]), int(sorted_dims[-1])
+
+
+class _Nu(NamedTuple):
+    v_row: Any  # EMA of mean(g^2) over the larger factored axis (or size-0)
+    v_col: Any  # EMA of mean(g^2) over the smaller factored axis (or size-0)
+    v: Any  # full second moment for unfactored leaves (or size-0)
+
+
+class ScaleByAdamFactoredState(NamedTuple):
+    count: Any
+    mu: Any
+    nu: Any  # pytree of _Nu
+
+
+def scale_by_adam_factored(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype=None,
+    min_dim_size_to_factor: int = 128,
+) -> optax.GradientTransformation:
+    """Adam whose nu is rank-1-factored for large (>=2D) parameters.
+
+    For a leaf with factored axes (d0, d1) the full nu is approximated by
+    ``vhat = (v_row / mean_d0(v_row)) (x) v_col`` (the Adafactor estimator);
+    small leaves keep exact full nu. mu is exact Adam momentum (optionally
+    bf16). Update: ``mu_hat / (sqrt(nu_hat) + eps)`` with standard bias
+    correction.
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+
+    def _zeros0(dtype=jnp.float32):
+        return jnp.zeros((0,), dtype)
+
+    def init_fn(params):
+        def init_nu(p):
+            dims = _factored_dims(p.shape, min_dim_size_to_factor)
+            if dims is None:
+                return _Nu(_zeros0(), _zeros0(), jnp.zeros_like(p, jnp.float32))
+            d0, d1 = dims
+            vr_shape = tuple(s for i, s in enumerate(p.shape) if i != d1)
+            vc_shape = tuple(s for i, s in enumerate(p.shape) if i != d0)
+            return _Nu(jnp.zeros(vr_shape, jnp.float32), jnp.zeros(vc_shape, jnp.float32), _zeros0())
+
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, mu_dtype or jnp.float32), params)
+        nu = jax.tree.map(init_nu, params)
+        return ScaleByAdamFactoredState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        c1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count.astype(jnp.float32)
+        c2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count.astype(jnp.float32)
+
+        def upd(g, mu, nu):
+            g32 = g.astype(jnp.float32)
+            new_mu = (b1 * mu.astype(jnp.float32) + (1.0 - b1) * g32).astype(mu.dtype)
+            g2 = g32 * g32
+            dims = _factored_dims(g.shape, min_dim_size_to_factor)
+            if dims is None:
+                new_v = b2 * nu.v + (1.0 - b2) * g2
+                vhat = new_v / c2
+                new_nu = _Nu(nu.v_row, nu.v_col, new_v)
+            else:
+                d0, d1 = dims
+                new_vr = b2 * nu.v_row + (1.0 - b2) * jnp.mean(g2, axis=d1)
+                new_vc = b2 * nu.v_col + (1.0 - b2) * jnp.mean(g2, axis=d0)
+                # reconstruct: vhat = (vr / mean_{d0}(vr)) (x) vc
+                # (after removing d1, axis d0 shifts down if d1 < d0)
+                d0r = d0 - 1 if d1 < d0 else d0
+                row_mean = jnp.mean(new_vr, axis=d0r, keepdims=True)
+                vr_n = new_vr / jnp.maximum(row_mean, 1e-30)
+                vhat = jnp.expand_dims(vr_n, d1) * jnp.expand_dims(new_vc, d0) / c2
+                new_nu = _Nu(new_vr, new_vc, nu.v)
+            mu_hat = new_mu.astype(jnp.float32) / c1
+            out = (mu_hat / (jnp.sqrt(vhat) + eps)).astype(g.dtype)
+            return out, new_mu, new_nu
+
+        # nu's _Nu leaves align with updates' array leaves — map manually
+        u_leaves, treedef = jax.tree.flatten(updates)
+        mu_leaves = treedef.flatten_up_to(state.mu)
+        nu_leaves = treedef.flatten_up_to(state.nu)
+        outs = [upd(g, m, n) for g, m, n in zip(u_leaves, mu_leaves, nu_leaves)]
+        new_updates = treedef.unflatten([o[0] for o in outs])
+        new_mu = treedef.unflatten([o[1] for o in outs])
+        new_nu = treedef.unflatten([o[2] for o in outs])
+        return new_updates, ScaleByAdamFactoredState(count=count, mu=new_mu, nu=new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def cast_params(params, dtype):
+    """Cast every floating-point leaf to ``dtype`` (bf16 compute mirror)."""
+    return jax.tree.map(lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
 
 
 # FCN3 staged-training freeze groups (ref fourcastnet3.py:886-899):
@@ -117,7 +236,17 @@ def get_optimizer(params, model_params, steps_per_epoch: int = 1):
     # its HBM traffic (the dhconv moments are ~1.2 GB fp32 at flagship scale)
     mu_dtype = {"bfloat16": jnp.bfloat16, "float32": None, None: None}[params.get("optimizer_mu_dtype", None)]
 
-    if opt_type in ("Adam", "FusedAdam"):
+    # Adafactor-style factored second moment: cuts the (embed, embed, L)
+    # dhconv nu from ~0.6 GB fp32 (read+written every step) to O(embed*L)
+    factored_nu = bool(params.get("optimizer_nu_factored", False))
+
+    if factored_nu and opt_type in ("Adam", "FusedAdam", "AdamW"):
+        pieces = [scale_by_adam_factored(b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype)]
+        if wd > 0:
+            pieces.append(optax.add_decayed_weights(wd, mask=_no_decay_mask(model_params)))
+        pieces.append(optax.scale_by_learning_rate(schedule))
+        base = optax.chain(*pieces)
+    elif opt_type in ("Adam", "FusedAdam"):
         if wd > 0:
             base = optax.adamw(
                 schedule, b1=beta1, b2=beta2, eps=eps, mu_dtype=mu_dtype, weight_decay=wd, mask=_no_decay_mask(model_params)

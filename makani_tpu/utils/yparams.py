@@ -21,8 +21,10 @@ __all__ = ["ParamsBase", "YParams"]
 # PyYAML implements YAML 1.1, whose float resolver rejects exponent forms
 # without a dot ("1E-3", "5E-4" — the style the reference's recipes use
 # throughout). The reference loads with ruamel (YAML 1.2 core schema), which
-# resolves them as floats; coerce the stragglers so configs parse identically.
-_FLOAT_RE = re.compile(r"^[+-]?((\d+\.\d*|\.\d+)([eE][+-]?\d+)?|\d+[eE][+-]?\d+)$")
+# resolves them as floats; coerce ONLY those stragglers — dotted floats are
+# already resolved by YAML 1.1, so any other float-looking string (version
+# tags, experiment names) was deliberately quoted and must stay a string.
+_FLOAT_RE = re.compile(r"^[+-]?\d+[eE][+-]?\d+$")
 
 
 def _coerce_numeric_strings(node):

@@ -12,7 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from makani_tpu.ops.fp8 import FP8_MAX, amax_update, fp8_einsum, quantize
+from makani_tpu.ops.fp8 import FP8_MAX, fp8_einsum, quantize, set_fp8
 
 
 @pytest.fixture(autouse=True)
@@ -66,8 +66,44 @@ def test_conv1x1_fp8_path_activates():
     assert np.isfinite(gmax)
 
 
-def test_amax_ema():
-    a = jnp.asarray(1.0)
-    x = jnp.full((4,), 3.0)
-    a2 = amax_update(a, x, decay=0.5)
-    assert float(a2) == pytest.approx(2.0)
+def test_fp8_config_driven():
+    """compute_dtype: "fp8" in the recipe flips the path on via the registry
+    (no env var), and the env var still overrides for ablations."""
+    from makani_tpu.ops import fp8 as fp8mod
+
+    assert not fp8mod.fp8_enabled()
+    set_fp8(True)
+    try:
+        assert fp8mod.fp8_enabled()
+        os.environ["MAKANI_FP8"] = "0"
+        assert not fp8mod.fp8_enabled()  # env override wins
+    finally:
+        set_fp8(False)
+        os.environ.pop("MAKANI_FP8", None)
+    assert not fp8mod.fp8_enabled()
+
+
+def test_fp8_via_model_registry_compute_dtype():
+    from makani_tpu.models.model_registry import get_model
+    from makani_tpu.ops import fp8 as fp8mod
+    from makani_tpu.utils.yparams import ParamsBase
+
+    params = ParamsBase(
+        dict(
+            nettype="DebugNet",
+            img_shape_x=8,
+            img_shape_y=16,
+            channel_names=["a", "b"],
+            in_channels=[0, 1],
+            out_channels=[0, 1],
+            n_history=0,
+            n_future=0,
+            add_zenith=False,
+            compute_dtype="fp8",
+        )
+    )
+    try:
+        get_model(params, multistep=False)
+        assert fp8mod.fp8_enabled()
+    finally:
+        set_fp8(False)
