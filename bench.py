@@ -112,8 +112,11 @@ def main():
     #   BENCH_PARAM_MIRROR — carry a bf16 weight mirror across steps so the
     #     forward reads half the param bytes and the per-step fp32->bf16 cast
     #     of every weight disappears; the fp32 master lives with the optimizer
+    # measured (PERF.md round 3): factored nu +3.7%; the mirror is a slight
+    # net negative (XLA already CSEs the weight cast once per step, and the
+    # mirror adds a bf16 param write) — default off, kept for ablations
     nu_factored = os.environ.get("BENCH_NU_FACTORED", "1") == "1"
-    param_mirror = os.environ.get("BENCH_PARAM_MIRROR", "1") == "1"
+    param_mirror = os.environ.get("BENCH_PARAM_MIRROR", "0") == "1"
 
     from makani_tpu.utils.training.optimizer import cast_params, scale_by_adam_factored
 

@@ -153,6 +153,12 @@ def get_model(params, multistep: bool = False):
         "atmo_embed_dim",
         "surf_embed_dim",
         "aux_embed_dim",
+        "pos_embed_dim",
+        "lmax",
+        "n_history",
+        "resample_sht",
+        "encoder_bias",
+        "layer_scale",
     ):
         if key in fields and params.get(key, None) is not None:
             kwargs[key] = params.get(key)
@@ -179,6 +185,8 @@ def get_model(params, multistep: bool = False):
         kwargs["clamp_water"] = params.get("clamp_water")
     if "filter_basis_norm_mode" in fields and params.get("filter_basis_norm_mode", None) is not None:
         kwargs["filter_basis_norm_mode"] = params.get("filter_basis_norm_mode")
+    if "filter_basis_type" in fields and params.get("filter_basis_type", None) is not None:
+        kwargs["filter_basis_type"] = params.get("filter_basis_type")
     if "dtype" in fields:
         compute_dtype = params.get("compute_dtype", "float32")
         if compute_dtype == "fp8":

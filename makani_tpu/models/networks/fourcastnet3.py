@@ -100,12 +100,12 @@ class DiscreteContinuousEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.inp_shape[0], self.kernel_shape, "piecewise linear")
+        theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.inp_shape[0], self.kernel_shape, self.basis_type)
         conv_op = DiscoConvS2(
             self.inp_shape,
             self.out_shape,
             tuple(self.kernel_shape),
-            basis_type="piecewise linear",
+            basis_type=self.basis_type,
             basis_norm_mode=self.basis_norm_mode,
             grid_in=self.grid_in,
             grid_out=self.grid_out,
@@ -146,6 +146,7 @@ class DiscreteContinuousDecoder(nn.Module):
     grid_in: str = "legendre-gauss"
     grid_out: str = "equiangular"
     kernel_shape: Sequence[int] = (3, 3)
+    basis_type: str = "piecewise linear"
     basis_norm_mode: str = "mean"
     use_mlp: bool = False
     mlp_ratio: float = 2.0
@@ -182,11 +183,12 @@ class DiscreteContinuousDecoder(nn.Module):
             resample = ResampleS2(*self.inp_shape, *self.out_shape, grid_in=self.grid_in, grid_out=self.grid_out)
             x = resample(x)
 
-        theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.out_shape[0], self.kernel_shape, "piecewise linear")
+        theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.out_shape[0], self.kernel_shape, self.basis_type)
         conv_op = DiscoConvS2(
             self.out_shape,
             self.out_shape,
             tuple(self.kernel_shape),
+            basis_type=self.basis_type,
             basis_norm_mode=self.basis_norm_mode,
             grid_in=self.grid_out,
             grid_out=self.grid_out,
@@ -219,6 +221,7 @@ class FCN3Block(nn.Module):
     layer_scale: bool = True
     use_mlp: bool = True
     kernel_shape: Sequence[int] = (3, 3)
+    basis_type: str = "piecewise linear"
     basis_norm_mode: str = "mean"
     use_bias: bool = False
     theta_cutoff: Optional[float] = None
@@ -262,11 +265,12 @@ class FCN3Block(nn.Module):
                 name="global_conv",
             )(x)
         elif self.conv_type == "local":
-            theta_cutoff = self.theta_cutoff or 2 * compute_cutoff_radius(self.internal_shape[0], self.kernel_shape, "piecewise linear")
+            theta_cutoff = self.theta_cutoff or 2 * compute_cutoff_radius(self.internal_shape[0], self.kernel_shape, self.basis_type)
             conv_op = DiscoConvS2(
                 self.internal_shape,
                 self.internal_shape,
                 tuple(self.kernel_shape),
+                basis_type=self.basis_type,
                 basis_norm_mode=self.basis_norm_mode,
                 grid_in=self.grid_type,
                 grid_out=self.grid_type,
@@ -314,6 +318,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
     inp_shape: Tuple[int, int] = (721, 1440)
     out_shape: Tuple[int, int] = (721, 1440)
     kernel_shape: Sequence[int] = (3, 3)
+    filter_basis_type: str = "piecewise linear"
     filter_basis_norm_mode: str = "mean"
     scale_factor: int = 8
     encoder_mlp: bool = False
@@ -386,6 +391,15 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
         B = x.shape[0]
         kernel_shape = tuple(self.kernel_shape)
 
+        # FCN3 has no history support (the reference raises too,
+        # fourcastnet3.py); FCN3.1's unified encoder handles n_history > 0
+        n_expected = len(self.channel_names) + len(self.aux_channel_names)
+        if x.shape[1] != n_expected:
+            raise ValueError(
+                f"FCN3 expects a single-step input of {n_expected} channels, got {x.shape[1]} "
+                f"(n_history > 0? use nettype FCN3.1)"
+            )
+
         if self.big_skip:
             residual = x[:, :n_out_chans]
 
@@ -402,6 +416,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 grid_in=self.model_grid_type,
                 grid_out=self.sht_grid_type,
                 kernel_shape=kernel_shape,
+                basis_type=self.filter_basis_type,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_mlp=self.encoder_mlp,
                 act_layer=act,
@@ -421,6 +436,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 grid_in=self.model_grid_type,
                 grid_out=self.sht_grid_type,
                 kernel_shape=kernel_shape,
+                basis_type=self.filter_basis_type,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_mlp=self.encoder_mlp,
                 act_layer=act,
@@ -443,6 +459,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 grid_in=self.model_grid_type,
                 grid_out=self.sht_grid_type,
                 kernel_shape=kernel_shape,
+                basis_type=self.filter_basis_type,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_mlp=self.encoder_mlp,
                 act_layer=act,
@@ -480,6 +497,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 layer_scale=self.layer_scale,
                 use_mlp=self.use_mlp,
                 kernel_shape=kernel_shape,
+                basis_type=self.filter_basis_type,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_bias=self.use_bias,
                 theta_cutoff=t_cut,
@@ -498,6 +516,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
             grid_in=self.sht_grid_type,
             grid_out=self.model_grid_type,
             kernel_shape=kernel_shape,
+            basis_type=self.filter_basis_type,
             basis_norm_mode=self.filter_basis_norm_mode,
             use_mlp=self.encoder_mlp,
             act_layer=act,
@@ -518,6 +537,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 grid_in=self.sht_grid_type,
                 grid_out=self.model_grid_type,
                 kernel_shape=kernel_shape,
+                basis_type=self.filter_basis_type,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_mlp=self.encoder_mlp,
                 act_layer=act,

@@ -51,8 +51,29 @@ __all__ = ["DiscoConvS2", "compute_cutoff_radius", "num_basis_functions"]
 
 def compute_cutoff_radius(nlat: int, kernel_shape, basis_type: str = "piecewise linear") -> float:
     """Cutoff heuristic matching the reference (fourcastnet3.py:47-50)."""
-    factor = {"piecewise linear": 0.5, "morlet": 0.5, "harmonic": 0.5, "zernike": math.sqrt(2.0)}[basis_type]
+    factor = {
+        "piecewise linear": 0.5,
+        "piecewise linear th": 0.5,
+        "morlet": 0.5,
+        "harmonic": 0.5,
+        "zernike": math.sqrt(2.0),
+        "fourier-bessel": 0.5,
+    }[basis_type]
     return (kernel_shape[0] + 1) * factor * math.pi / float(nlat - 1)
+
+
+def compute_cutoff_radius_lmax(lmax: int, kernel_shape, basis_type: str = "piecewise linear") -> float:
+    """FCN3.1 cutoff heuristic: kernel radius from the spectral truncation
+    rather than the grid resolution (ref fourcastnet3_1.py:55-57)."""
+    margin = {
+        "piecewise linear": 1.0,
+        "piecewise linear th": 1.0,
+        "morlet": 1.0,
+        "harmonic": 1.0,
+        "zernike": 1.0,
+        "fourier-bessel": 1.5,
+    }[basis_type]
+    return margin * kernel_shape[0] * math.pi / float(max(lmax, 1))
 
 
 def num_basis_functions(kernel_shape) -> int:
@@ -60,28 +81,90 @@ def num_basis_functions(kernel_shape) -> int:
     return 1 + (n_r - 1) * n_phi
 
 
-def _basis_values(r, alpha, kernel_shape, theta_cutoff):
+def _radial_profiles(rr, kernel_shape, theta_cutoff, basis_type):
+    """Radial profile family R_q, q = 0..n_r-1 (R_0 is the isotropic center).
+
+    Every basis family shares the layout K = 1 + (n_r - 1) * n_phi (center
+    node + (n_r - 1) radial levels x n_phi azimuthal functions) so the learned
+    weight tensor shape is uniform across bases. The families are documented
+    TPU-native realizations of the reference's basis names (torch-harmonics
+    FilterBasis, bound at ref fourcastnet3.py:189-205); they span equivalent
+    anisotropic local-filter spaces — exact basis values (and hence the
+    parametrization of the learned weights) are implementation conventions:
+
+      * "piecewise linear"      — triangular hats at radii q * dr, dr = cutoff/n_r
+        (same radial nodes/dr as torch-harmonics' convention)
+      * "piecewise linear th"   — identical radial hats; azimuthal *hats*
+        instead of cos/sin harmonics (the torch-harmonics anisotropic
+        piecewise-linear convention; used for checkpoint import parity)
+      * "harmonic"              — disc radial harmonics cos(pi q r / cutoff)
+      * "morlet"                — Gaussian-windowed radial oscillations
+        exp(-(2r/cutoff)^2 / 2) * cos(pi q r / cutoff)
+      * "zernike"               — even Zernike radial polynomials R_{2q}^0(r/cutoff)
+      * "fourier-bessel"        — J_0(j_{0,q} r / cutoff) with j_{0,q} the
+        q-th positive zero of the Bessel J_0
+    """
+    n_r, _ = kernel_shape
+    x = np.clip(rr / theta_cutoff, 0.0, 1.0)  # normalized radius in [0, 1]
+
+    if basis_type in ("piecewise linear", "piecewise linear th"):
+        dr = theta_cutoff / n_r
+        return [np.clip(1.0 - np.abs(rr - q * dr) / dr, 0.0, None) for q in range(n_r)]
+    if basis_type == "harmonic":
+        return [np.cos(math.pi * q * x) if q else np.ones_like(x) for q in range(n_r)]
+    if basis_type == "morlet":
+        env = np.exp(-2.0 * x * x)
+        return [env * np.cos(math.pi * q * x) for q in range(n_r)]
+    if basis_type == "zernike":
+        # even Zernike radial polynomials: 1, 2x^2-1, 6x^4-6x^2+1, ...
+        return [_zernike_r2q0(x, q) for q in range(n_r)]
+    if basis_type == "fourier-bessel":
+        from scipy.special import j0, jn_zeros
+
+        zeros = jn_zeros(0, n_r)
+        return [np.ones_like(x) if q == 0 else j0(zeros[q - 1] * x) for q in range(n_r)]
+    raise NotImplementedError(f"basis_type {basis_type}")
+
+
+def _zernike_r2q0(x, q):
+    """Zernike radial polynomial R_{2q}^0(x) by its explicit sum."""
+    out = np.zeros_like(x)
+    for s in range(q + 1):
+        c = (-1) ** s * math.factorial(2 * q - s) / (math.factorial(s) * math.factorial(q - s) ** 2)
+        out = out + c * x ** (2 * (q - s))
+    return out
+
+
+def _azimuth_values(alpha, p, n_phi, basis_type):
+    """Azimuthal function p of n_phi at bearing alpha."""
+    if basis_type == "piecewise linear th":
+        # periodic triangular hats at p * dphi (torch-harmonics convention)
+        dphi = 2.0 * math.pi / n_phi
+        d = np.abs(np.mod(alpha - p * dphi + math.pi, 2.0 * math.pi) - math.pi)
+        return np.clip(1.0 - d / dphi, 0.0, None)
+    # cos/sin harmonic pairs (all other families)
+    if p == 0:
+        return np.ones_like(alpha)
+    if p % 2 == 1:
+        return np.cos(((p + 1) // 2) * alpha)
+    return np.sin((p // 2) * alpha)
+
+
+def _basis_values(r, alpha, kernel_shape, theta_cutoff, basis_type="piecewise linear"):
     """All K basis functions at geodesic radius r, bearing alpha: (K, *shape)."""
     n_r, n_phi = kernel_shape
-    dr = theta_cutoff / n_r
     rr = np.clip(r, 0.0, None)
+    radials = _radial_profiles(rr, kernel_shape, theta_cutoff, basis_type)
 
-    out = [np.clip(1.0 - rr / dr, 0.0, None)]  # isotropic center node
+    out = [radials[0]]  # isotropic center node
     for q in range(1, n_r):
-        radial = np.clip(1.0 - np.abs(rr - q * dr) / dr, 0.0, None)
         for p in range(n_phi):
-            if p == 0:
-                az = np.ones_like(alpha)
-            elif p % 2 == 1:
-                az = np.cos(((p + 1) // 2) * alpha)
-            else:
-                az = np.sin((p // 2) * alpha)
-            out.append(radial * az)
+            out.append(radials[q] * _azimuth_values(alpha, p, n_phi, basis_type))
     return np.stack(out)
 
 
 @lru_cache(maxsize=16)  # bounded: psi tables are tens of MB per config
-def _precompute_psi(in_shape, out_shape, kernel_shape, grid_in, grid_out, theta_cutoff, basis_norm_mode):
+def _precompute_psi(in_shape, out_shape, kernel_shape, grid_in, grid_out, theta_cutoff, basis_norm_mode, basis_type="piecewise linear"):
     """Precompute psi tables for all phases.
 
     Returns dict with:
@@ -162,7 +245,7 @@ def _precompute_psi(in_shape, out_shape, kernel_shape, grid_in, grid_out, theta_
             np.sin(ph) * np.sin(ti) * np.ones_like(to),
             np.cos(ti) * np.sin(to) - np.sin(ti) * np.cos(to) * np.cos(ph),
         )
-        psi = _basis_values(r, alpha, kernel_shape, theta_cutoff)  # (K, Hout, BL, Woff)
+        psi = _basis_values(r, alpha, kernel_shape, theta_cutoff, basis_type)  # (K, Hout, BL, Woff)
         psi = np.where(r[None] <= theta_cutoff, psi, 0.0)
         return psi * quad[ti_idx][None, :, :, None]
 
@@ -175,11 +258,22 @@ def _precompute_psi(in_shape, out_shape, kernel_shape, grid_in, grid_out, theta_
         psi_polar_l.append(pf[:, polar_rows] if polar_rows else np.zeros((K, 0, BL, nlon_in)))
         bases[p] = base
 
-    # basis normalization ("mean"): unit mean L1 mass per basis function,
-    # measured on the full-support (phase 0) tables
-    if basis_norm_mode == "mean":
+    # basis normalization, measured on the full-support (phase 0) tables
+    # (our conventions; they reparametrize the learned weights):
+    #   "mean"  — unit mean L1 mass per basis function,
+    #   "nodal" — unit discrete (nodal) L2 norm per basis function
+    #             (the quadrature-weighted psi evaluated at the grid nodes),
+    #   "support" — unit mean support measure (quadrature mass of the
+    #             nonzero set), "none" — raw basis values.
+    if basis_norm_mode in ("mean", "nodal", "support"):
         _, pf0, _ = build_tables(0)
-        mass = np.abs(pf0).sum(axis=(2, 3)).mean(axis=1)
+        if basis_norm_mode == "mean":
+            mass = np.abs(pf0).sum(axis=(2, 3)).mean(axis=1)
+        elif basis_norm_mode == "nodal":
+            mass = np.sqrt(np.square(pf0).sum(axis=(2, 3))).mean(axis=1)
+        else:  # support
+            supp = (np.abs(pf0) > 0).astype(np.float64) * quad[ti_idx][None, :, :, None]
+            mass = supp.sum(axis=(2, 3)).mean(axis=1)
         scale = 1.0 / np.maximum(mass, 1e-12)
         psi_band *= scale[None, :, None, None, None]
         psi_polar_l = [pp * scale[:, None, None, None] for pp in psi_polar_l]
@@ -217,7 +311,7 @@ class DiscoConvS2:
         self.K = num_basis_functions(kernel_shape)
 
         tbl = _precompute_psi(
-            self.in_shape, self.out_shape, self.kernel_shape, grid_in, grid_out, self.theta_cutoff, basis_norm_mode
+            self.in_shape, self.out_shape, self.kernel_shape, grid_in, grid_out, self.theta_cutoff, basis_norm_mode, basis_type
         )
         self.__dict__.update(tbl)
         self.WW = 2 * self.halo + 1

@@ -1,5 +1,7 @@
-"""FCN3.1 parity features (ref fourcastnet3_1.py:55-1177): sine activation,
-lmax-based DISCO cutoffs, learned SST imputation."""
+"""FCN3.1 (ref fourcastnet3_1.py:641-1133): unified encoder/decoder over all
+channels, learnable latitude position embedding, n_history support, lmax-based
+DISCO cutoffs, nodal basis norm, fourier-bessel basis, learned SST imputation.
+"""
 
 import numpy as np
 import pytest
@@ -15,14 +17,21 @@ NAMES = ["u10m", "v10m", "t2m", "sst", "z500", "q500"]
 
 
 def _params(**over):
+    # reference-shaped config keys (embed_dim / pos_embed_dim / encoder_bias,
+    # ref net signature fourcastnet3_1.py:653-694)
     cfg = dict(
         nettype="FCN3.1",
         img_shape_x=16,
         img_shape_y=32,
         scale_factor=2,
-        atmo_embed_dim=4,
-        surf_embed_dim=6,
+        embed_dim=8,
         aux_embed_dim=4,
+        pos_embed_dim=3,
+        encoder_bias=False,
+        filter_basis_type="harmonic",
+        filter_basis_norm_mode="nodal",
+        activation_function="sin",
+        hard_thresholding_fraction=1.0,
         num_layers=2,
         kernel_shape=[2, 3],
         channel_names=NAMES,
@@ -39,6 +48,84 @@ def _params(**over):
     )
     cfg.update(over)
     return ParamsBase(cfg)
+
+
+def _param_names(p):
+    return [jtu.keystr(k) for k, _ in jtu.tree_flatten_with_path(p)[0]]
+
+
+def test_fcn31_unified_encoder_and_pos_embed():
+    """FCN3.1 is the restructured net: ONE encoder/decoder over all channels
+    (no atmo/surf groups) plus a learnable latitude position embedding."""
+    model, _ = get_model(_params(), multistep=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, len(NAMES), 16, 32).astype(np.float32))
+    zen = jnp.asarray(rng.randn(1, 1, 1, 16, 32).astype(np.float32))
+    p = model.init(jax.random.PRNGKey(0), x, zen)
+    names_p = _param_names(p)
+    assert any("'encoder'" in n for n in names_p)
+    assert any("'decoder'" in n for n in names_p)
+    assert not any("atmo_encoder" in n or "surf_encoder" in n for n in names_p)
+    # latitude position embedding: (1, pos_embed_dim, h, 1)
+    pe = [l for k, l in jtu.tree_flatten_with_path(p)[0] if "pos_embed" in jtu.keystr(k)]
+    assert len(pe) == 1 and pe[0].shape == (1, 3, 8, 1)
+    out = model.apply(p, x, zen, train=False)
+    assert out.shape == (1, len(NAMES), 16, 32) and bool(jnp.isfinite(out).all())
+
+
+def test_fcn31_n_history():
+    """n_history > 0: the unified encoder consumes every history copy
+    (FCN3 raises on it, ref parity)."""
+    model, pre = get_model(_params(n_history=1), multistep=True)
+    rng = np.random.RandomState(3)
+    C = len(NAMES)
+    x = jnp.asarray(rng.randn(1, 2 * C, 16, 32).astype(np.float32))  # 2 history steps flattened
+    zen = jnp.asarray(rng.randn(1, 2, 1, 16, 32).astype(np.float32))
+    p = model.init(jax.random.PRNGKey(0), x, zen)
+    out = model.apply(p, x, zen, train=False)
+    assert out.shape == (1, C, 16, 32) and bool(jnp.isfinite(out).all())
+
+    # FCN3 must reject history inputs
+    m3, _ = get_model(_params(nettype="FCN3", n_history=1, atmo_embed_dim=4, surf_embed_dim=6), multistep=True)
+    with pytest.raises(ValueError, match="FCN3.1"):
+        m3.init(jax.random.PRNGKey(0), x, zen)
+
+
+def test_fcn31_fourier_bessel_nodal_big_skip():
+    model, _ = get_model(
+        _params(filter_basis_type="fourier-bessel", big_skip=True, clamp_water=True), multistep=True
+    )
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, len(NAMES), 16, 32).astype(np.float32))
+    zen = jnp.asarray(rng.randn(1, 1, 1, 16, 32).astype(np.float32))
+    p = model.init(jax.random.PRNGKey(0), x, zen)
+    out = model.apply(p, x, zen, train=False)
+    assert bool(jnp.isfinite(out).all())
+    g = jax.grad(lambda q: jnp.mean(model.apply(q, x, zen, train=True) ** 2))(p)
+    gmax = max(float(jnp.abs(le).max()) for le in jtu.tree_leaves(g))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_fcn31_builds_from_reference_yaml():
+    """The reference-shaped YAML recipe builds the net (shapes shrunk)."""
+    from makani_tpu.utils.yparams import YParams
+
+    params = YParams("config/fourcastnet3.yaml", "fcn31_sc2_edim256_layers10")
+    params["img_shape_x"], params["img_shape_y"] = 16, 32
+    params["embed_dim"], params["aux_embed_dim"], params["pos_embed_dim"] = 8, 4, 2
+    params["num_layers"] = 2
+    params["kernel_shape"] = [2, 3]
+    params["channel_names"] = NAMES
+    params["in_channels"] = list(range(len(NAMES)))
+    params["out_channels"] = list(range(len(NAMES)))
+    params["input_noise"] = None
+    params["lmax"] = None
+    model, _ = get_model(params, multistep=True)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, len(NAMES), 16, 32).astype(np.float32))
+    zen = jnp.asarray(rng.randn(1, 1, 1, 16, 32).astype(np.float32))
+    p = model.init(jax.random.PRNGKey(0), x, zen)
+    assert bool(jnp.isfinite(model.apply(p, x, zen, train=False)).all())
 
 
 def test_fcn31_imputes_nan_sst_and_runs():
