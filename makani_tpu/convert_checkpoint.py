@@ -8,10 +8,23 @@ Supported:
   * FCN3/SNO (DISCO) family — ``convert_disco_state_dict``: the channel-
     grouped DISCO encoders/decoders, local/global processor blocks, layer
     scales and skips. DISCO filter weights map 1:1 onto our basis slots
-    (shape (groups*out, in/groups, K) -> (groups, out, in/groups, K)); note
-    our piecewise-linear basis is mathematically documented but not
-    bit-identical to torch-harmonics' basis values, so imported local-conv
-    weights are exact only up to the basis convention (ops/disco.py).
+    (shape (groups*out, in/groups, K) -> (groups, out, in/groups, K)).
+
+    Exactness status per filter-basis family (torch-harmonics itself is not
+    installable here, so "exact" means: validated to fp32 tolerance against
+    an independent dense implementation of the documented torch-harmonics
+    >= 0.9 convention — tests/test_convert_parity.py):
+
+      - ``piecewise linear`` checkpoints: **numerically exact** when the
+        target model is configured with ``filter_basis_type: "piecewise
+        linear th"`` (radial hats at q*cutoff/n_r x periodic azimuthal hats;
+        ops/disco.py). Our default "piecewise linear" uses cos/sin azimuthal
+        harmonics instead and is a reparametrization, not weight-compatible.
+      - ``morlet`` / ``fourier-bessel`` / ``zernike`` checkpoints:
+        **structural only** — layouts and K counts transfer, but our basis
+        values are documented TPU-native realizations, not bit-matches of
+        torch-harmonics'; an imported model is a re-parametrized init, not
+        the trained function.
   * Adam optimizer state (exp_avg/exp_avg_sq) —
     ``convert_adam_state``/``inject_adam_state``: moments transform with the
     same layout maps as their parameters and are injected into the optax
