@@ -147,13 +147,42 @@ def main():
         carry = (mirror, model_params, opt_state)
     else:
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(p, s, inp, target, z):
+        def _train_step(p, s, inp, target, z):
             loss, grads = jax.value_and_grad(loss_fn)(p, inp, target, z)
             updates, s = tx.update(grads, s, p)
             return loss, optax.apply_updates(p, updates), s
 
         carry = (model_params, opt_state)
+
+        # AUTO layouts for the carried state: XLA picks the dhconv weight
+        # layout its einsums want, so the per-step relayout copies of the
+        # (1,384,384,L,2) stacks (~1.7 GB/step; HLO census scripts/r3)
+        # disappear. Measured +3.5% (12.82 -> 13.27 samples/s). The batch
+        # inputs keep default layouts (they arrive from the host).
+        # BENCH_AUTO_LAYOUT=0 reverts.
+        train_step = None
+        if os.environ.get("BENCH_AUTO_LAYOUT", "1") == "1":
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                auto, deflt = Format(Layout.AUTO), Format()
+                jitted = jax.jit(
+                    _train_step,
+                    in_shardings=(auto, auto, deflt, deflt, deflt),
+                    out_shardings=(deflt, auto, auto),
+                    donate_argnums=(0, 1),
+                )
+                compiled = jitted.lower(model_params, opt_state, x, tar, zen).compile()
+                fmts = compiled.input_formats[0]
+                carry = (
+                    jax.device_put(model_params, fmts[0]),
+                    jax.device_put(opt_state, fmts[1]),
+                )
+                train_step = compiled
+            except Exception as e:
+                print(f"# auto-layout unavailable ({e}); falling back", file=sys.stderr)
+        if train_step is None:
+            train_step = jax.jit(_train_step, donate_argnums=(0, 1))
 
     for _ in range(warmup):
         loss, *carry = train_step(*carry, x, tar, zen)
@@ -174,7 +203,10 @@ def main():
     flops_per_sample = None
     mfu = None
     try:
-        ca = train_step.lower(*carry, x, tar, zen).compile().cost_analysis()
+        if hasattr(train_step, "cost_analysis"):  # pre-compiled (auto-layout path)
+            ca = train_step.cost_analysis()
+        else:
+            ca = train_step.lower(*carry, x, tar, zen).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
