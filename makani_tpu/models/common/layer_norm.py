@@ -13,12 +13,24 @@ also makes it exact on padded-latitude grids (padded rows carry zero weight).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
+import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from makani_tpu.ops.norm import weighted_instance_norm_affine
 from makani_tpu.utils.grids import GridQuadrature
+
+
+def _use_fused_norm() -> bool:
+    # Opt-in: the hand-VJP norm (ops/norm.py) reads fewer logical bytes on
+    # paper but measured 4.7% SLOWER end-to-end on the v5e bench — the
+    # custom_vjp is a fusion barrier, and XLA was already folding the norm
+    # backward into neighboring fusions (PERF.md round 3). Kept for ablations
+    # and for backends where that fusion doesn't happen.
+    return os.environ.get("MAKANI_FUSED_NORM", "0") == "1"
 
 __all__ = ["InstanceNorm2d", "GeometricInstanceNormS2", "ChannelLayerNorm"]
 
@@ -40,10 +52,22 @@ class InstanceNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        xs = x.astype(jnp.float32)
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
         # spatial axes: NCHW -> (-2, -1); NHWC -> (-3, -2)
         sp = (-3, -2) if self.channels_last else (-2, -1)
         lat_ax, lon_ax = sp
+        if _use_fused_norm():
+            H, W = x.shape[lat_ax], x.shape[lon_ax]
+            if self.nlat_phys is not None and self.nlat_phys < H:
+                q = (np.arange(H) < self.nlat_phys).astype(np.float32)[:, None] / (self.nlat_phys * W)
+            else:
+                q = np.full((1, 1), 1.0 / (H * W), np.float32)
+            w = weight if self.affine else jnp.ones((self.num_features,), jnp.float32)
+            b = bias if self.affine else jnp.zeros((self.num_features,), jnp.float32)
+            return weighted_instance_norm_affine(x, w, b, jnp.asarray(q), self.channels_last, self.eps)
+        xs = x.astype(jnp.float32)
         if self.nlat_phys is not None and self.nlat_phys < x.shape[lat_ax]:
             nlat_pad = x.shape[lat_ax]
             mask = (jnp.arange(nlat_pad) < self.nlat_phys).astype(jnp.float32)
@@ -56,8 +80,6 @@ class InstanceNorm2d(nn.Module):
             var = jnp.var(xs, axis=sp, keepdims=True)
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
-            weight = self.param("weight", nn.initializers.ones, (self.num_features,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
             if self.channels_last:
                 y = y * weight.astype(x.dtype) + bias.astype(x.dtype)
             else:
@@ -95,6 +117,18 @@ class GeometricInstanceNormS2(nn.Module):
             self.bias = self.param("bias", nn.initializers.zeros, (self.num_features,), jnp.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if _use_fused_norm():
+            lat_ax, lon_ax = (-3, -2) if self.channels_last else (-2, -1)
+            q = self._quad.quad_weight  # normalized (sums to 1); numpy
+            # padded-latitude convention: zero weight beyond the physical grid
+            if x.shape[lat_ax] > q.shape[0] or x.shape[lon_ax] > q.shape[1]:
+                q = np.pad(q, [(0, x.shape[lat_ax] - q.shape[0]), (0, x.shape[lon_ax] - q.shape[1])])
+            if self.affine:
+                weight, bias = self.weight, self.bias
+            else:
+                weight = jnp.ones((self.num_features,), jnp.float32)
+                bias = jnp.zeros((self.num_features,), jnp.float32)
+            return weighted_instance_norm_affine(x, weight, bias, jnp.asarray(q), self.channels_last, self.eps)
         xs = x.astype(jnp.float32)
         if self.channels_last:
             mean = self._quad(xs, channels_last=True)[..., None, None, :]
