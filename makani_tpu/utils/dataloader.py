@@ -165,7 +165,16 @@ def get_dataloader(params, location: str, mode: str = "train", final_eval: bool 
         from makani_tpu.parallel import multihost
 
         init_distributed_io(params, mesh)
-        row_slice = multihost.local_batch_slice(mesh, params.get("batch_size", 1))
+        E = params.get("ensemble_size", 1)
+        if E > 1:
+            # the ensemble trainer folds (B, E) -> B*E; the loader holds the
+            # *unfolded* rows, so this process needs every batch row whose
+            # members it owns (the ensemble axis may span processes —
+            # ref config/fourcastnet3.yaml:222-233)
+            fs = multihost.local_batch_slice(mesh, params.get("batch_size", 1) * E)
+            row_slice = slice(fs.start // E, (fs.stop - 1) // E + 1)
+        else:
+            row_slice = multihost.local_batch_slice(mesh, params.get("batch_size", 1))
 
     if params.get("enable_synthetic_data", False) or params.get("data_loader_config", None) == "synthetic":
         from makani_tpu.utils.dataloaders.data_loader_dummy import DummyDataset

@@ -61,13 +61,12 @@ class EnsembleTrainer(Trainer):
             # preprocessor.py:176-179); the preprocessor adds them in place
             noise_cfg["n_channels"] = len(self.preprocessor.perturb_channels)
         self.noise = build_noise(noise_cfg, img_shape, num_time_steps=1)
+        # one global key; per-(batch row, antithetic pair) streams are derived
+        # by fold_in inside _noise_rows, so every process draws identical noise
+        # for a given global row regardless of the process layout (independence
+        # across rows AND cross-host reproducibility — the round-2 per-process
+        # fold_in gave independence but broke layout-invariance)
         self._noise_key = jax.random.PRNGKey(params.get("seed", 333) + 1)
-        # distinct global batch rows on different hosts must receive
-        # independent perturbations: fold the process index into the stream
-        # (the reference seeds per rank, preprocessor.py:154-167); noise is
-        # exogenous per-sample, so per-process streams are safe
-        if jax.process_count() > 1:
-            self._noise_key = jax.random.fold_in(self._noise_key, jax.process_index())
         self._ens_train_step = self._build_ens_train_step()
 
         # targets are NOT ensemble-folded: they shard over the batch axis only,
@@ -77,34 +76,72 @@ class EnsembleTrainer(Trainer):
         self.tar_sharding = NamedSharding(self.mesh, P("batch", None, "h", "w"))
 
     # -- channel bookkeeping: zenith + noise are both per-step appended channels
-    def _noise_sequence(self, key, batch_size: int, total_steps: int):
-        """Draw the exogenous noise time series (B*E, total_steps, Cn, H, W)."""
-        BE = batch_size * self.ensemble_size
-        draw = BE // 2 if self.centered else BE
+    def _noise_rows(self, key, bs, es, total_steps):
+        """Draw noise time series (rows, total_steps, Cn, H, W) for explicit
+        global (batch-row, member) pairs.
 
-        keys = jax.random.split(key, total_steps + 1)
-        state = self.noise.init_state(keys[0], draw)
-        fields = [self.noise.sample(state)[:, 0]]
-        for t in range(1, total_steps):
-            state = self.noise.update(state, keys[t], replace_state=False)
-            fields.append(self.noise.sample(state)[:, 0])
-        seq = jnp.stack(fields, axis=1)  # (draw, T, Cn, H, W)
+        The stream for each row is keyed by its *global* (batch row, antithetic
+        pair) ids, so the draw is independent of how rows are laid out across
+        processes — the multi-host parity anchor. Antithetic ("centered")
+        members 2k/2k+1 derive from the same pair key with opposite sign, which
+        keeps the pairing exact even when a pair straddles two processes
+        (ref preprocessor.py:154-167 seeds by ensemble rank instead).
+        """
+        bs = jnp.asarray(bs, jnp.uint32)
+        pair = jnp.asarray(es, jnp.uint32) // 2 if self.centered else jnp.asarray(es, jnp.uint32)
+
+        def one(b, p):
+            k = jax.random.fold_in(jax.random.fold_in(key, b), p)
+            keys = jax.random.split(k, total_steps)
+            state = self.noise.init_state(keys[0], 1)
+            fields = [self.noise.sample(state)[0, 0]]
+            for t in range(1, total_steps):
+                state = self.noise.update(state, keys[t], replace_state=False)
+                fields.append(self.noise.sample(state)[0, 0])
+            return jnp.stack(fields, axis=0)  # (T, Cn, H, W)
+
+        seq = jax.vmap(one)(bs, pair)
         if self.centered:
-            # antithetic pairs: members (2k, 2k+1) get (+eta, -eta)
-            seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
+            sign = jnp.where(jnp.asarray(es) % 2 == 1, -1.0, 1.0).astype(seq.dtype)
+            seq = seq * sign[:, None, None, None, None]
         return seq
 
-    def _prepare_ensemble_batch(self, batch):
-        """Fold the ensemble into the batch dim and attach noise channels."""
+    def _local_folded_rows(self, gb: int, loader):
+        """Global folded (B*E) row ids this process feeds, plus the loader's
+        local row offset. Single-process: all rows."""
         E = self.ensemble_size
-        inp = expand_ensemble(jnp.asarray(batch["inp"]), E)
-        tar = jnp.asarray(batch["tar"])
-        zen = expand_ensemble(jnp.asarray(batch["zen"]), E) if "zen" in batch else None
+        if jax.process_count() == 1:
+            return np.arange(gb * E), 0
+        from makani_tpu.parallel import multihost
 
-        n_hist = self.params.get("n_history", 0)
-        total_steps = n_hist + 1 + self.n_future
-        self._noise_key, sub = jax.random.split(self._noise_key)
-        noise_seq = self._noise_sequence(sub, batch["inp"].shape[0], total_steps)
+        fslice = multihost.local_batch_slice(self.mesh, gb * E)
+        rows = np.arange(fslice.start, fslice.stop)
+        b_off = 0
+        rs = getattr(loader, "row_slice", None)
+        if rs is not None:
+            b_off = rs.start or 0
+        return rows, b_off
+
+    def _prepare_ensemble_batch(self, batch, total_steps: int, key, loader=None):
+        """Fold the ensemble into the batch dim and attach noise channels.
+
+        Multi-host: the loader holds only this process's *unfolded* batch rows;
+        gather them into the locally-owned folded (B*E) rows (members of the
+        same sample may live on different processes — the ensemble axis may
+        span hosts, ref config/fourcastnet3.yaml:222-233 trains ensemble 16
+        across 256 ranks).
+        """
+        loader = loader if loader is not None else self.train_loader
+        E = self.ensemble_size
+        gb = getattr(loader, "global_batch_size", batch["inp"].shape[0])
+        rows, b_off = self._local_folded_rows(gb, loader)
+        bs, es = rows // E, rows % E
+
+        inp = jnp.asarray(np.asarray(batch["inp"])[bs - b_off])
+        tar = jnp.asarray(batch["tar"])
+        zen = jnp.asarray(np.asarray(batch["zen"])[bs - b_off]) if "zen" in batch else None
+
+        noise_seq = self._noise_rows(key, bs, es, total_steps)
 
         if self.noise_mode not in ("concatenate", "perturb"):
             raise NotImplementedError(f"noise mode {self.noise_mode}")
@@ -120,22 +157,11 @@ class EnsembleTrainer(Trainer):
         t0 = time.time()
         losses = []
         n_samples = 0
-        E = self.ensemble_size
-        if jax.process_count() > 1 and self.mesh.shape["ensemble"] > 1:
-            # multi-host ensemble requires whole ensembles per process: the
-            # loader slices the unfolded batch, so a cross-process ensemble
-            # axis would interleave members across hosts
-            ens_axis = list(self.mesh.axis_names).index("ensemble")
-            procs_along_ens = {
-                d.process_index for d in np.moveaxis(self.mesh.devices, ens_axis, 0).reshape(self.mesh.shape["ensemble"], -1)[:, 0]
-            }
-            if len(procs_along_ens) > 1:
-                raise NotImplementedError(
-                    "multi-host training with the ensemble axis spanning processes is not supported; "
-                    "place whole ensembles within a host (ensemble inside, batch across hosts)"
-                )
+        n_hist = self.params.get("n_history", 0)
+        total_steps = n_hist + 1 + self.n_future
         for batch in self.train_loader:
-            inp, tar, unp = self._prepare_ensemble_batch(batch)
+            self._noise_key, sub = jax.random.split(self._noise_key)
+            inp, tar, unp = self._prepare_ensemble_batch(batch, total_steps, sub)
             gb = getattr(self.train_loader, "global_batch_size", batch["inp"].shape[0])
             inp = self._put_global(inp, self.data_sharding, gb * self.ensemble_size)
             tar = self._put_global(tar, self.tar_sharding, gb)
@@ -186,13 +212,14 @@ class EnsembleTrainer(Trainer):
         valid_losses = []
 
         for batch in self.valid_loader:
-            inp = expand_ensemble(jnp.asarray(batch["inp"]), E)
-            tar = jnp.asarray(batch["tar"])
-            zen = expand_ensemble(jnp.asarray(batch["zen"]), E) if "zen" in batch else None
-            total_steps = n_hist + S
+            total_steps = max(n_hist + S, T)
             self._noise_key, sub = jax.random.split(self._noise_key)
-            noise_seq = self._noise_sequence(sub, batch["inp"].shape[0], max(total_steps, T))
-            unp = jnp.concatenate([zen, noise_seq], axis=2) if zen is not None else noise_seq
+            inp, tar, unp = self._prepare_ensemble_batch(batch, total_steps, sub, loader=self.valid_loader)
+
+            gb = getattr(self.valid_loader, "global_batch_size", batch["inp"].shape[0])
+            inp = self._put_global(inp, self.data_sharding, gb * E)
+            tar = self._put_global(tar, self.tar_sharding, gb)
+            unp = self._put_global(unp, self.zen_sharding, gb * E)
 
             inpt = inp
             step_losses = []

@@ -1,12 +1,20 @@
-"""Worker script for the multi-host trainer test (not a pytest module).
+"""Worker script for the multi-host trainer tests (not a pytest module).
 
 Launched by tests/test_multihost.py once per simulated host:
 
-    python tests/multihost_worker.py <pid> <nproc> <port> <tmpdir>
+    python tests/multihost_worker.py <pid> <nproc> <port> <tmpdir> [mode]
 
 Each process drives 4 virtual CPU devices; with nproc=2 the global mesh spans
-8 devices across 2 processes (batch=2 x ensemble=1 x h=2 x w=2). nproc=1 runs
-the same global config single-process, as the parity reference.
+8 devices across 2 processes. nproc=1 runs the same global config
+single-process, as the parity reference. Modes:
+
+  batch  (default) mesh batch=2 x h=2 x w=2 — batch rows split across hosts
+  hsplit mesh h=4 x w=2 — the *latitude* axis spans processes, so each host's
+         io_tile restricts reads to its rows (ref dataloader.py:30-71 io_grid)
+  ens    EnsembleTrainer, mesh ensemble=2 x h=2 x w=2 with global batch 1 —
+         members of the SAME sample live on different hosts, with antithetic
+         (centered) noise pairs straddling the process boundary
+         (ref config/fourcastnet3.yaml:222-233 ensemble-parallel recipe)
 
 Prints one ``MHRESULT {json}`` line with the epoch logs.
 """
@@ -21,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     tmpdir = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "batch"
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + ("4" if nproc == 2 else "8")
     import jax
@@ -33,46 +42,68 @@ def main():
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
         multihost.init_multihost(coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid)
 
-    from makani_tpu.utils.training.deterministic_trainer import Trainer
     from makani_tpu.utils.yparams import ParamsBase
 
-    params = ParamsBase(
-        dict(
-            nettype="SFNO",
-            enable_synthetic_data=True,
-            img_shape_x=24,
-            img_shape_y=48,
-            scale_factor=2,
-            embed_dim=16,
-            num_layers=2,
-            channel_names=["u10m", "v10m", "t2m", "z500", "q700"],
-            in_channels=[0, 1, 2, 3, 4],
-            out_channels=[0, 1, 2, 3, 4],
-            n_history=0,
-            n_future=0,
-            dt=1,
-            dhours=6,
-            add_zenith=True,
-            batch_size=8,
-            n_train_samples_per_epoch=16,
-            n_eval_samples=8,
-            valid_autoreg_steps=1,
-            losses=[{"type": "l2", "channel_weights": "constant", "parameters": {"squared": True}}],
-            lr=2e-3,
-            max_epochs=1,
-            scheduler="none",
-            optimizer_type="Adam",
-            weight_decay=0.0,
-            normalization_layer="instance_norm_s2",
-            save_checkpoint="none",
-            exp_dir=tmpdir,
-            multistep={"push_forward": False, "weight_type": "constant"},
-            h_parallel_size=2,
-            w_parallel_size=2,
-        )
+    base = dict(
+        nettype="SFNO",
+        enable_synthetic_data=True,
+        img_shape_x=24,
+        img_shape_y=48,
+        scale_factor=2,
+        embed_dim=16,
+        num_layers=2,
+        channel_names=["u10m", "v10m", "t2m", "z500", "q700"],
+        in_channels=[0, 1, 2, 3, 4],
+        out_channels=[0, 1, 2, 3, 4],
+        n_history=0,
+        n_future=0,
+        dt=1,
+        dhours=6,
+        add_zenith=True,
+        batch_size=8,
+        n_train_samples_per_epoch=16,
+        n_eval_samples=8,
+        valid_autoreg_steps=1,
+        losses=[{"type": "l2", "channel_weights": "constant", "parameters": {"squared": True}}],
+        lr=2e-3,
+        max_epochs=1,
+        scheduler="none",
+        optimizer_type="Adam",
+        weight_decay=0.0,
+        normalization_layer="instance_norm_s2",
+        save_checkpoint="none",
+        exp_dir=tmpdir,
+        multistep={"push_forward": False, "weight_type": "constant"},
+        h_parallel_size=2,
+        w_parallel_size=2,
     )
 
-    trainer = Trainer(params, world_rank=multihost.process_index())
+    if mode == "hsplit":
+        # latitude spans processes: proc0 owns rows [0, 12), proc1 [12, 24)
+        base.update(h_parallel_size=4, w_parallel_size=2, batch_size=4, n_train_samples_per_epoch=8, n_eval_samples=4)
+    elif mode == "ens":
+        base.update(
+            h_parallel_size=2,
+            w_parallel_size=2,
+            ensemble_parallel_size=2,
+            ensemble_size=2,
+            batch_size=1,
+            n_train_samples_per_epoch=4,
+            n_eval_samples=2,
+            input_noise={"type": "diffusion", "n_channels": 2, "mode": "concatenate", "centered": True, "sigma": 1.0, "lambd": 0.5},
+            losses=[{"type": "crps", "channel_weights": "constant", "parameters": {"crps_type": "skillspread"}}],
+        )
+    elif mode != "batch":
+        raise ValueError(f"unknown mode {mode}")
+
+    params = ParamsBase(base)
+
+    if mode == "ens":
+        from makani_tpu.utils.training.ensemble_trainer import EnsembleTrainer as TrainerCls
+    else:
+        from makani_tpu.utils.training.deterministic_trainer import Trainer as TrainerCls
+
+    trainer = TrainerCls(params, world_rank=multihost.process_index())
     logs = trainer.train()
     out = {
         "rank": multihost.process_index(),
@@ -80,6 +111,8 @@ def main():
         "train_loss": logs[0]["train_loss"],
         "valid_loss": logs[0]["valid_loss"],
         "rmse": logs[0].get("rmse"),
+        "io_tile_x": list(params.get("io_tile_x") or ()),
+        "io_tile_y": list(params.get("io_tile_y") or ()),
     }
     print("MHRESULT " + json.dumps(out), flush=True)
 

@@ -28,13 +28,13 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_world(nproc: int, tmpdir: str, timeout: int = 900):
+def _run_world(nproc: int, tmpdir: str, timeout: int = 900, mode: str = "batch"):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), str(nproc), str(port), tmpdir],
+            [sys.executable, _WORKER, str(pid), str(nproc), str(port), tmpdir, mode],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -70,3 +70,38 @@ def test_two_process_trainer_matches_single_process(tmp_path):
     assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
     assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
     assert multi[0]["rmse"] == pytest.approx(single[0]["rmse"], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_h_split_io_tiles(tmp_path):
+    """The latitude axis spans the two processes: io_tile must restrict each
+    host's reads to its rows, and the result must match single-process."""
+    multi = _run_world(2, str(tmp_path / "mh"), mode="hsplit")
+    single = _run_world(1, str(tmp_path / "sp"), mode="hsplit")
+
+    # per-process latitude tiles: disjoint halves of the 24-row grid
+    assert multi[0]["io_tile_x"] == [0, 12]
+    assert multi[1]["io_tile_x"] == [12, 24]
+    assert multi[0]["io_tile_y"] == [0, 48] and multi[1]["io_tile_y"] == [0, 48]
+    # single-process worlds read the full grid (io tiling inactive)
+    assert single[0]["io_tile_x"] in ([], [0, 24])
+
+    assert multi[0]["train_loss"] == pytest.approx(multi[1]["train_loss"], rel=1e-6)
+    assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
+    assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
+    assert multi[0]["rmse"] == pytest.approx(single[0]["rmse"], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_ensemble_across_hosts(tmp_path):
+    """EnsembleTrainer with the ensemble axis spanning processes: the two
+    members of each (antithetic) pair live on different hosts. Parity against
+    the identical single-process world checks noise layout-invariance
+    (per-(row, pair) keyed streams) and the folded-row gather."""
+    multi = _run_world(2, str(tmp_path / "mh"), mode="ens")
+    single = _run_world(1, str(tmp_path / "sp"), mode="ens")
+
+    assert multi[0]["nproc"] == 2
+    assert multi[0]["train_loss"] == pytest.approx(multi[1]["train_loss"], rel=1e-6)
+    assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
+    assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
