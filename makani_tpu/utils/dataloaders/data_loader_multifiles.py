@@ -92,6 +92,8 @@ class MultifilesDataset:
         self.n_samples = int(self.cum[-1])
 
         self.in_bias, self.in_scale = get_data_normalization(params)
+        self._norm_identity = bool(np.all(np.asarray(self.in_bias) == 0) and np.all(np.asarray(self.in_scale) == 1))
+        self._inv_scale = 1.0 / np.asarray(self.in_scale, dtype=np.float32)
 
         # per-process sharded IO tile (ref dataloader.py:30-71 io_grid): read
         # only the (h, w) rows/cols this host's devices own. Tile indices are
@@ -121,6 +123,22 @@ class MultifilesDataset:
             self._handles[fidx] = h5py.File(self.files[fidx], "r")
         return self._handles[fidx]
 
+    def _file_mmap(self, fidx, ds):
+        """np.memmap view of a *contiguous* (unchunked, uncompressed) fp32
+        dataset — the TPU-side equivalent of the reference's DALI O_DIRECT
+        reads at known offsets (dali_es_helper_2d.py:56-946, which likewise
+        requires raw contiguous files). Returns None when the dataset is
+        chunked/compressed (h5py read_direct path is used instead)."""
+        if not hasattr(self, "_mmaps"):
+            self._mmaps = [None] * len(self.files)
+        if self._mmaps[fidx] is None:
+            off = ds.id.get_offset()
+            if off is None or ds.dtype != np.float32:
+                self._mmaps[fidx] = False
+            else:
+                self._mmaps[fidx] = np.memmap(self.files[fidx], dtype=np.float32, mode="r", offset=off, shape=tuple(ds.shape))
+        return self._mmaps[fidx] if self._mmaps[fidx] is not False else None
+
     def get_normalization(self):
         return self.in_bias, self.in_scale
 
@@ -128,6 +146,45 @@ class MultifilesDataset:
         return np.stack(
             [cos_zenith_angle_from_timestamp(float(t), self._lon_grid, self._lat_grid) for t in ts_list]
         ).astype(np.float32)[:, None]
+
+    def _read_window(self, ds, indices, channels, fidx=None):
+        """Read time steps ``indices`` x ``channels`` at the (tile) slices.
+
+        Fast path: when the tile covers the full grid at stride 1 and the file
+        stores fp32, ``read_direct`` into a preallocated buffer — measured
+        3.3 GB/s vs 0.35 GB/s for the equivalent strided-hyperslab selection
+        (PERF.md IO section; the strided no-op slice forces HDF5's slow
+        per-chunk selection code). Channel subselection is skipped when it is
+        the identity (fancy indexing always copies ~300 MB/sample at 0.25 deg).
+        """
+        identity_ch = len(channels) == ds.shape[1] and list(channels) == list(range(ds.shape[1]))
+        full_extent = (
+            self._sx.start == 0 and self._sx.stop >= self.file_shape[0] and (self._sx.step or 1) == 1
+            and self._sy.start == 0 and self._sy.stop >= self.file_shape[1] and (self._sy.step or 1) == 1
+        )
+        mm = self._file_mmap(fidx, ds) if fidx is not None else None
+        if mm is not None:
+            if full_extent:
+                # full slabs: basic-sliced memmap copy into a preallocated
+                # buffer — a straight memcpy from the page cache (measured
+                # 7.3 GB/s vs 4.5 for h5py read_direct and ~1 for memmap
+                # *fancy* indexing, PERF.md IO section)
+                T, (C, H, W) = len(indices), mm.shape[1:]
+                out = np.empty((T, C, H, W), np.float32)
+                for k, i in enumerate(indices):
+                    np.copyto(out[k], mm[i])
+                return out if identity_ch else out[:, channels]
+            # tile reads: slice the memmap — only the tile's pages are touched
+            win = np.stack([mm[i, :, self._sx, self._sy] for i in indices])  # stack copies the views
+            return win if identity_ch else win[:, channels]
+        if full_extent and ds.dtype == np.float32:
+            out = np.empty((len(indices), ds.shape[1], self.file_shape[0], self.file_shape[1]), np.float32)
+            for k, i in enumerate(indices):
+                ds.read_direct(out[k], np.s_[i])
+            return out if identity_ch else out[:, channels]
+        win = [np.asarray(ds[i, :, self._sx, self._sy], dtype=np.float32) for i in indices]
+        out = win[0][None] if len(win) == 1 else np.stack(win)
+        return out if identity_ch else out[:, channels]
 
     def __getitem__(self, idx: int):
         fidx = bisect_right(self.cum, idx) - 1
@@ -140,11 +197,17 @@ class MultifilesDataset:
         inp_idx = [local - (self.n_history - i) * self.dt for i in range(self.n_history + 1)]
         tar_idx = [local + (i + 1) * self.dt for i in range(self.n_future + 1)]
 
-        inp = np.stack([ds[i, :, self._sx, self._sy] for i in inp_idx]).astype(np.float32)[:, self.in_channels]
-        tar = np.stack([ds[i, :, self._sx, self._sy] for i in tar_idx]).astype(np.float32)[:, self.out_channels]
+        inp = self._read_window(ds, inp_idx, self.in_channels, fidx)
+        tar = self._read_window(ds, tar_idx, self.out_channels, fidx)
 
-        inp = (inp - self.in_bias) / self.in_scale
-        tar = (tar - self.in_bias) / self.in_scale
+        # in-place normalization, multiply by the precomputed reciprocal
+        # (two temporaries at 0.25 deg would be ~600 MB/sample); skipped when
+        # the stats are the identity
+        if not self._norm_identity:
+            np.subtract(inp, self.in_bias, out=inp)
+            np.multiply(inp, self._inv_scale, out=inp)
+            np.subtract(tar, self.in_bias, out=tar)
+            np.multiply(tar, self._inv_scale, out=tar)
 
         sample = {"inp": inp, "tar": tar}
         if self.add_zenith:

@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_dataset(path: str, n_samples: int, C: int = 73, H: int = 721, W: int = 1440):
+def build_dataset(path: str, n_samples: int, C: int = 73, H: int = 721, W: int = 1440, contiguous: bool = False):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.isfile(path):
         with h5py.File(path, "r") as f:
@@ -30,7 +30,10 @@ def build_dataset(path: str, n_samples: int, C: int = 73, H: int = 721, W: int =
                 return
     rng = np.random.RandomState(0)
     with h5py.File(path, "w") as f:
-        ds = f.create_dataset("fields", shape=(n_samples, C, H, W), dtype="f4", chunks=(1, 1, H, W))
+        # contiguous = the layout of real ERA5 yearly files, and what the
+        # reference's DALI O_DIRECT reader requires (dali_es_helper_2d.py)
+        chunks = None if contiguous else (1, 1, H, W)
+        ds = f.create_dataset("fields", shape=(n_samples, C, H, W), dtype="f4", chunks=chunks)
         for i in range(n_samples):
             ds[i] = rng.randn(C, H, W).astype(np.float32)
         t0 = np.datetime64("2017-01-01T00:00:00").astype("datetime64[s]").astype(np.int64)
@@ -48,6 +51,8 @@ def main():
 
     path = os.path.join(args.dir, "train", "2017.h5")
     build_dataset(path, args.samples + 2)
+    cpath = os.path.join(args.dir, "train_contig", "2017.h5")
+    build_dataset(cpath, args.samples + 2, contiguous=True)
 
     C, H, W = 73, 721, 1440
     base = dict(
@@ -64,23 +69,29 @@ def main():
         normalization="none",
     )
 
-    def measure(tag, extra):
+    def measure(tag, extra, p=path):
         params = ParamsBase(dict(base, **extra))
-        ds = MultifilesDataset(params, os.path.dirname(path), train=True)
-        # drop the page cache effect by alternating sample order across runs
+        ds = MultifilesDataset(params, os.path.dirname(p), train=True)
         n = min(args.samples, len(ds))
-        t0 = time.perf_counter()
-        nbytes = 0
-        for i in range(n):
-            s = ds[i]
-            nbytes += s["inp"].nbytes + s["tar"].nbytes
-        dt = time.perf_counter() - t0
-        print(f"{tag}: {nbytes / dt / 1e9:.2f} GB/s ({nbytes / 1e9:.1f} GB in {dt:.1f}s, {n} samples)")
-        return nbytes / dt / 1e9
+        rates = []
+        # pass 1 includes cold page-cache misses (storage-bound on first
+        # touch); pass 2 is warm and measures the software path itself
+        for pas in (1, 2):
+            t0 = time.perf_counter()
+            nbytes = 0
+            for i in range(n):
+                s = ds[i]
+                nbytes += s["inp"].nbytes + s["tar"].nbytes
+            dt = time.perf_counter() - t0
+            rates.append(nbytes / dt / 1e9)
+        print(f"{tag}: cold {rates[0]:.2f} GB/s / warm {rates[1]:.2f} GB/s ({nbytes / 1e9:.1f} GB per pass, {n} samples)")
+        return rates[1]
 
-    full = measure("full-grid reads (721x1440)", {})
-    tile = measure("per-tile reads (io_tile h/2 x w/2)", {"io_tile_x": (0, 361), "io_tile_y": (0, 720)})
+    full = measure("full-grid reads, chunked file (721x1440)", {})
+    tile = measure("per-tile reads, chunked file (io_tile h/2 x w/2)", {"io_tile_x": (0, 361), "io_tile_y": (0, 720)})
     print(f"tile read volume is 1/4; rate ratio {tile / full:.2f}x")
+    measure("full-grid reads, CONTIGUOUS file (memmap path)", {}, p=cpath)
+    measure("per-tile reads, CONTIGUOUS file", {"io_tile_x": (0, 361), "io_tile_y": (0, 720)}, p=cpath)
 
     # grain multi-worker pipeline at the same shapes (the DALI replacement)
     try:
