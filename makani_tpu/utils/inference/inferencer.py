@@ -181,8 +181,11 @@ class Inferencer:
         from makani_tpu.models.preprocessor import get_unpredicted_channels
 
         n_dyn = get_unpredicted_channels(params, with_noise=self.ensemble_size > 1)
-        dummy_inp = jnp.zeros((1, n_in_flat, H, W), jnp.float32)
-        dummy_zen = jnp.zeros((1, params.get("n_history", 0) + 1, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
+        # init batch must divide over the mesh's data axes (the distributed
+        # transforms are shard_mapped with explicit specs)
+        B0 = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+        dummy_inp = jnp.zeros((B0, n_in_flat, H, W), jnp.float32)
+        dummy_zen = jnp.zeros((B0, params.get("n_history", 0) + 1, n_dyn, H, W), jnp.float32) if n_dyn > 0 else None
         self.model_params = self.model.init(jax.random.PRNGKey(0), dummy_inp, dummy_zen)
 
         ckpt = CheckpointManager(params)
@@ -203,10 +206,15 @@ class Inferencer:
         self._eval_step = eval_step
 
     def _select_indices(self):
-        """Initial-condition indices for THIS process: optional date-range
-        filtering (--start_date/--end_date, ref inference.py CLI) followed by
-        an even split over processes (the reference's batch-rank split,
-        inferencer.py:239-247)."""
+        """GLOBAL initial-condition indices after optional date-range filtering
+        (--start_date/--end_date, ref inference.py CLI).
+
+        Every process computes the identical list. The reference splits ICs
+        across "batch" ranks (inferencer.py:239-247) because each rank has its
+        own communicator; under single-program SPMD every process must issue
+        the same jitted steps on the same global mesh, so the parallelism over
+        ICs is carried by the global batch dimension instead — score_model
+        feeds each process only its rows of each global batch."""
         n = len(self.valid_dataset)
         indices = list(range(n))
         start = self.params.get("start_date", None)
@@ -217,7 +225,7 @@ class Inferencer:
             indices = [i for i in indices if t0 <= self.valid_dataset.base_timestamp(i) <= t1]
             if not indices:
                 raise ValueError(f"no samples between {start} and {end}")
-        return split_list(indices, jax.process_count())[jax.process_index()]
+        return indices
 
     def score_model(self, output_dir: Optional[str] = None):
         """Roll out over all initial conditions and score every lead time
@@ -253,13 +261,38 @@ class Inferencer:
         E = self.ensemble_size
         indices = self._select_indices()
         bs = params.get("batch_size", 1)
+
+        # multi-process: every process walks the SAME global batches (identical
+        # jitted steps / collectives), loading only its own rows. Ragged
+        # shapes would desynchronize the SPMD programs (hang), so require a
+        # clean division instead of silently wrong padding.
+        nproc = jax.process_count()
+        row_slice = None
+        if nproc > 1:
+            if E > 1:
+                raise NotImplementedError(
+                    "multi-process ensemble scoring is not implemented yet: fold members into "
+                    "the batch rows per process (as EnsembleTrainer does) before enabling this"
+                )
+            n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+            if bs % n_shards != 0 or len(indices) % bs != 0:
+                raise NotImplementedError(
+                    f"multi-process score_model needs batch_size ({bs}) divisible by the data shards "
+                    f"({n_shards}) and the IC count ({len(indices)}) divisible by batch_size — "
+                    "trim the date range or adjust batch_size"
+                )
+            from makani_tpu.parallel import multihost
+
+            row_slice = multihost.local_batch_slice(self.mesh, bs)
+
         index_batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
         from makani_tpu.utils.dataloader import _assemble
 
         has_ts = hasattr(self.valid_dataset, "target_timestamps")
         ic_index = 0
         for batch_idx in index_batches:
-            batch = _assemble([self.valid_dataset[int(i)] for i in batch_idx])
+            local_idx = batch_idx if row_slice is None else batch_idx[row_slice]
+            batch = _assemble([self.valid_dataset[int(i)] for i in local_idx])
             # per-lead-time target timestamps for mask/climatology lookup
             tar_ts = [self.valid_dataset.target_timestamps(int(i)) for i in batch_idx] if has_ts else None
             inp = jnp.asarray(batch["inp"])
@@ -284,11 +317,22 @@ class Inferencer:
                     if self.centered:
                         seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
                     zen = jnp.concatenate([zen, seq], axis=2) if zen is not None else seq
-            # ragged last batch (or fewer ICs than data shards): place
-            # replicated rather than requiring divisibility
-            n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
-            sharding = self.data_sharding if inp.shape[0] % n_shards == 0 else NamedSharding(self.mesh, P(None, None, "h", "w"))
-            inp = jax.device_put(inp, sharding)
+            if row_slice is not None:
+                # assemble globals from this process's rows (tar/zen too: the
+                # jitted step and the metrics consume global arrays)
+                from makani_tpu.parallel import multihost
+
+                inp = multihost.make_global_array(np.asarray(inp), self.mesh, self.data_sharding.spec, (bs, *inp.shape[1:]))
+                tar = multihost.make_global_array(np.asarray(tar), self.mesh, self.data_sharding.spec, (bs, *tar.shape[1:]))
+                if zen is not None:
+                    zspec = P(("batch", "ensemble"), None, None, "h", "w")
+                    zen = multihost.make_global_array(np.asarray(zen), self.mesh, zspec, (bs, *zen.shape[1:]))
+            else:
+                # ragged last batch (or fewer ICs than data shards): place
+                # replicated rather than requiring divisibility
+                n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+                sharding = self.data_sharding if inp.shape[0] % n_shards == 0 else NamedSharding(self.mesh, P(None, None, "h", "w"))
+                inp = jax.device_put(inp, sharding)
 
             inpt = inp
             for step in range(S):
@@ -324,10 +368,21 @@ class Inferencer:
                 self.metrics.update(predc, tstepc, step, mask=mask)
 
                 pred_mean = jnp.mean(pred_scored, axis=1) if E > 1 else pred
+                if row_slice is not None:
+                    # the streaming buffers consume host arrays: gather the
+                    # global rows to every process (the reference likewise
+                    # gathers from spatial ranks before writing,
+                    # rollout_buffer.py:581-668)
+                    from makani_tpu.parallel import multihost
+
+                    pred_mean = jnp.asarray(multihost.fetch_replicated(pred_mean))
+                    tstep_h = jnp.asarray(multihost.fetch_replicated(tstep))
+                else:
+                    tstep_h = tstep
                 self.temporal_buffer.update(pred_mean, step)
-                self.bias_buffer.update(pred_mean - tstep, step)
-                self.spectrum_buffer.update(pred_mean, step, tar=tstep)
-                self.zonal_buffer.update(pred_mean, step, tar=tstep)
+                self.bias_buffer.update(pred_mean - tstep_h, step)
+                self.spectrum_buffer.update(pred_mean, step, tar=tstep_h)
+                self.zonal_buffer.update(pred_mean, step, tar=tstep_h)
                 if hasattr(self, "rollout_buffer"):
                     self.rollout_buffer.update(pred_mean, step, ic_index)
                 if step < S - 1:

@@ -93,6 +93,41 @@ def main():
             input_noise={"type": "diffusion", "n_channels": 2, "mode": "concatenate", "centered": True, "sigma": 1.0, "lambd": 0.5},
             losses=[{"type": "crps", "channel_weights": "constant", "parameters": {"crps_type": "skillspread"}}],
         )
+    elif mode == "infer":
+        # multi-process score_model: every process walks the same global IC
+        # batches, feeding only its rows (ADVICE r2: the per-process IC split
+        # desynchronized the SPMD programs)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from testutils import get_default_parameters, init_hdf5_dataset
+
+        own = os.path.join(tmpdir, f"data_p{pid}")
+        os.makedirs(own, exist_ok=True)
+        paths = init_hdf5_dataset(own)  # seed=0: identical files on every process
+        iparams = get_default_parameters(
+            own,
+            valid_autoreg_steps=1,
+            batch_size=2,
+            metric_names=["rmse", "acc", "l1"],
+            checkpoint_required=False,
+            h_parallel_size=2,
+            w_parallel_size=2,
+            **paths,
+        )
+        from makani_tpu.utils.inference.inferencer import Inferencer
+
+        inf = Inferencer(iparams)
+        logs = inf.score_model(output_dir=os.path.join(tmpdir, "out") if multihost.is_main_process() else None)
+        out = {
+            "rank": multihost.process_index(),
+            "nproc": jax.process_count(),
+            "train_loss": float(logs["rmse"]),  # reuse the result keys
+            "valid_loss": float(logs["acc"]),
+            "rmse": float(logs["rmse"]),
+            "io_tile_x": [],
+            "io_tile_y": [],
+        }
+        print("MHRESULT " + json.dumps(out), flush=True)
+        return
     elif mode != "batch":
         raise ValueError(f"unknown mode {mode}")
 

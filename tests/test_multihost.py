@@ -105,3 +105,17 @@ def test_two_process_ensemble_across_hosts(tmp_path):
     assert multi[0]["train_loss"] == pytest.approx(multi[1]["train_loss"], rel=1e-6)
     assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
     assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_inferencer_score_model(tmp_path):
+    """score_model under 2 processes: same global IC batches on every process
+    (rows split per host), buffers fed via cross-process gather; parity with
+    the identical single-process scoring run."""
+    multi = _run_world(2, str(tmp_path / "mh"), mode="infer")
+    single = _run_world(1, str(tmp_path / "sp"), mode="infer")
+
+    assert multi[0]["nproc"] == 2
+    assert multi[0]["rmse"] == pytest.approx(multi[1]["rmse"], rel=1e-6)
+    assert multi[0]["rmse"] == pytest.approx(single[0]["rmse"], rel=2e-4)
+    assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)  # acc
