@@ -335,20 +335,22 @@ class DiscoConvS2:
             needed = (n_out_p - 1) * a + self.WW
             if needed > Win:
                 xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
-            t_p = jnp.zeros((B, C, K, Hout, n_out_p), jnp.float32)
-            for j in range(BL):
-                inp_j = xs[:, :, :, j, :].reshape(B * C, Hout, xs.shape[-1]).astype(jnp.float32)
-                filt = jnp.asarray(self.psi_band[p, :, :, j, :])  # (K, Hout, WW)
-                filt = jnp.transpose(filt, (1, 0, 2)).reshape(Hout * K, 1, self.WW)
-                out = jax.lax.conv_general_dilated(
-                    inp_j,
-                    filt,
-                    window_strides=(a,),
-                    padding="VALID",
-                    dimension_numbers=("NCW", "OIW", "NCW"),
-                    feature_group_count=Hout,
-                )  # (B*C, Hout*K, n_out_p)
-                t_p = t_p + out.reshape(B, C, Hout, K, n_out_p).transpose(0, 1, 3, 2, 4)
+            # one grouped conv for the whole band: each latitude group maps its
+            # BL band rows (input features) to its K basis responses (output
+            # features) — replaces the former per-band-row loop that re-read
+            # the windowed input BL times
+            inp = xs.reshape(B * C, Hout * BL, xs.shape[-1]).astype(jnp.float32)
+            filt = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
+            filt = jnp.transpose(filt, (1, 0, 2, 3)).reshape(Hout * K, BL, self.WW)
+            out = jax.lax.conv_general_dilated(
+                inp,
+                filt,
+                window_strides=(a,),
+                padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=Hout,
+            )  # (B*C, Hout*K, n_out_p)
+            t_p = out.reshape(B, C, Hout, K, n_out_p).transpose(0, 1, 3, 2, 4)
 
             # polar rows: exact FFT circular correlation over all longitudes
             if self.polar_rows:
