@@ -50,6 +50,7 @@ def _populate():
         ("FCN3", "makani_tpu.models.networks.fourcastnet3:AtmoSphericNeuralOperatorNet"),
         ("FCN3.1", "makani_tpu.models.networks.fourcastnet3_1:AtmoSphericNeuralOperatorNet31"),
         ("Pangu", "makani_tpu.models.networks.pangu:Pangu"),
+        ("PanguOnnx", "makani_tpu.models.networks.pangu_onnx:PanguOnnx"),
     ]:
         _REGISTRY[name] = path
 
@@ -159,6 +160,7 @@ def get_model(params, multistep: bool = False):
         "resample_sht",
         "encoder_bias",
         "layer_scale",
+        "onnx_file",
     ):
         if key in fields and params.get(key, None) is not None:
             kwargs[key] = params.get(key)
