@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-__all__ = ["get_optimizer", "get_schedule", "scale_by_adam_factored", "cast_params"]
+__all__ = ["get_optimizer", "get_schedule", "scale_by_adam_factored", "scale_by_shampoo", "cast_params"]
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +136,122 @@ def scale_by_adam_factored(
 def cast_params(params, dtype):
     """Cast every floating-point leaf to ``dtype`` (bf16 compute mirror)."""
     return jax.tree.map(lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
+
+
+# ---------------------------------------------------------------------------
+# Shampoo: Kronecker-factored full-matrix preconditioning.
+#
+# The reference exposes SIRFShampoo (makani/utils/driver.py:702-754) — a
+# Kronecker-structured second-order method. This is the same preconditioner
+# family implemented TPU-first (Gupta et al. 2018): per-axis statistics
+# S_i = b2 S_i + (1-b2) G_(i) G_(i)^T contracted on the MXU, inverse-(2k)-th
+# roots refreshed every ``precondition_interval`` steps via eigh under
+# lax.cond (the root is amortized; the per-step cost is k small GEMMs), SGD
+# grafting for the step scale, heavy-ball momentum on the preconditioned
+# direction. Axes larger than ``max_precond_dim`` are skipped (diagonal
+# behavior along them), so (embed, embed, L, 2) dhconv stacks get 384x384,
+# 384x384, LxL and 2x2 factors instead of one impossible full matrix.
+# ---------------------------------------------------------------------------
+
+
+class ScaleByShampooState(NamedTuple):
+    count: Any
+    mu: Any  # momentum on the preconditioned direction
+    stats: Any  # per-leaf tuple of per-axis Kronecker statistics
+    roots: Any  # per-leaf tuple of cached inverse-root preconditioners
+
+
+def _precond_axes(shape, max_precond_dim: int):
+    return tuple(i for i, d in enumerate(shape) if 1 < d <= max_precond_dim)
+
+
+def _inv_pth_root(s: jnp.ndarray, p: int, ridge: float) -> jnp.ndarray:
+    """(S + ridge*tr(S)/d*I)^(-1/p) via symmetric eigendecomposition."""
+    d = s.shape[0]
+    lam = ridge * (jnp.trace(s) / d + 1e-30)
+    w, q = jnp.linalg.eigh(s + lam * jnp.eye(d, dtype=s.dtype))
+    w = jnp.maximum(w, 1e-30)
+    return (q * (w ** (-1.0 / p))) @ q.T
+
+
+def scale_by_shampoo(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    max_precond_dim: int = 1024,
+    precondition_interval: int = 10,
+    ridge: float = 1e-6,
+    graft: bool = True,
+) -> optax.GradientTransformation:
+    """Shampoo preconditioning (the reference's SIRFShampoo role).
+
+    Leaves with no eligible axis (scalars, all-axes-too-large) fall back to
+    plain momentum SGD; grafting rescales every preconditioned update to the
+    raw gradient's norm so the learning-rate schedule transfers from SGD/Adam
+    recipes.
+    """
+
+    def init_fn(params):
+        def init_leaf(p):
+            axes = _precond_axes(p.shape, max_precond_dim)
+            stats = tuple(jnp.zeros((p.shape[a], p.shape[a]), jnp.float32) for a in axes)
+            roots = tuple(jnp.eye(p.shape[a], dtype=jnp.float32) for a in axes)
+            return stats, roots
+
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        per_leaf = jax.tree.map(init_leaf, params)
+        is_sr = lambda x: isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple)
+        stats = jax.tree.map(lambda sr: sr[0], per_leaf, is_leaf=is_sr)
+        roots = jax.tree.map(lambda sr: sr[1], per_leaf, is_leaf=is_sr)
+        return ScaleByShampooState(count=jnp.zeros([], jnp.int32), mu=mu, stats=stats, roots=roots)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        do_refresh = (count - 1) % precondition_interval == 0
+
+        def upd(g, mu, stats, roots):
+            g32 = g.astype(jnp.float32)
+            axes = _precond_axes(g.shape, max_precond_dim)
+            k = len(axes)
+            if k == 0:
+                new_mu = b1 * mu + g32
+                return new_mu.astype(g.dtype), new_mu, stats, roots
+
+            other = lambda a: tuple(i for i in range(g32.ndim) if i != a)
+            new_stats = tuple(
+                b2 * s + (1.0 - b2) * jnp.tensordot(g32, g32, axes=(other(a), other(a)))
+                for s, a in zip(stats, axes)
+            )
+            new_roots = jax.lax.cond(
+                do_refresh,
+                lambda st: tuple(_inv_pth_root(s, 2 * k, ridge) for s in st),
+                lambda st: roots,
+                new_stats,
+            )
+            pg = g32
+            for r, a in zip(new_roots, axes):
+                pg = jnp.moveaxis(jnp.tensordot(r, pg, axes=([1], [a])), 0, a)
+            if graft:
+                pg = pg * (jnp.linalg.norm(g32) / (jnp.linalg.norm(pg) + 1e-30))
+            new_mu = b1 * mu + pg
+            return new_mu.astype(g.dtype), new_mu, new_stats, new_roots
+
+        u_leaves, treedef = jax.tree.flatten(updates)
+        mu_leaves = treedef.flatten_up_to(state.mu)
+        st_leaves = treedef.flatten_up_to(state.stats)
+        rt_leaves = treedef.flatten_up_to(state.roots)
+        outs = [upd(g, m, s, r) for g, m, s, r in zip(u_leaves, mu_leaves, st_leaves, rt_leaves)]
+        return (
+            treedef.unflatten([o[0] for o in outs]),
+            ScaleByShampooState(
+                count=count,
+                mu=treedef.unflatten([o[1] for o in outs]),
+                stats=treedef.unflatten([o[2] for o in outs]),
+                roots=treedef.unflatten([o[3] for o in outs]),
+            ),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 # FCN3 staged-training freeze groups (ref fourcastnet3.py:886-899):
@@ -259,11 +375,9 @@ def get_optimizer(params, model_params, steps_per_epoch: int = 1):
         )
     elif opt_type == "SGD":
         base = optax.sgd(schedule, momentum=params.get("optimizer_momentum", 0.0), nesterov=params.get("optimizer_nesterov", False))
-    elif opt_type in ("Muon", "SIRFShampoo"):
-        # second-order-preconditioned option (the reference exposes
-        # SIRFShampoo, driver.py:702-754); Muon orthogonalizes the momentum of
-        # matrix-shaped weights on the MXU and falls back to adam elsewhere —
-        # the TPU-idiomatic equivalent
+    elif opt_type == "Muon":
+        # Muon orthogonalizes the momentum of matrix-shaped weights on the
+        # MXU and falls back to adam elsewhere
         base = optax.contrib.muon(
             schedule,
             beta=params.get("optimizer_beta1", 0.95),
@@ -272,6 +386,21 @@ def get_optimizer(params, model_params, steps_per_epoch: int = 1):
             eps=eps,
             weight_decay=wd,
         )
+    elif opt_type in ("Shampoo", "SIRFShampoo"):
+        # Kronecker-factored second-order preconditioning (the reference's
+        # SIRFShampoo, driver.py:702-754) — scale_by_shampoo above
+        pieces = [
+            scale_by_shampoo(
+                b1=beta1,
+                b2=beta2,
+                max_precond_dim=params.get("optimizer_max_precond_dim", 1024),
+                precondition_interval=params.get("optimizer_precondition_interval", 10),
+            )
+        ]
+        if wd > 0:
+            pieces.append(optax.add_decayed_weights(wd, mask=_no_decay_mask(model_params)))
+        pieces.append(optax.scale_by_learning_rate(schedule))
+        base = optax.chain(*pieces)
     else:
         raise ValueError(f"optimizer {opt_type} not supported")
 

@@ -173,6 +173,21 @@ def build_train_step(nlat, nlon, batch):
         updates, s = tx.update(grads, s, p)
         return loss, optax.apply_updates(p, updates), s
 
+    # match the bench default (AUTO layouts on the carried state,
+    # BENCH_AUTO_LAYOUT=1) so the census reflects the measured configuration
+    if os.environ.get("BENCH_AUTO_LAYOUT", "1") == "1":
+        try:
+            from jax.experimental.layout import Format, Layout
+
+            auto, deflt = Format(Layout.AUTO), Format()
+            return jax.jit(
+                train_step,
+                in_shardings=(auto, auto, deflt, deflt, deflt),
+                out_shardings=(deflt, auto, auto),
+                donate_argnums=(0, 1),
+            ).lower(p, s, x, tar, zen)
+        except Exception as e:
+            print(f"# auto-layout unavailable ({e}); default layouts", file=sys.stderr)
     return jax.jit(train_step, donate_argnums=(0, 1)).lower(p, s, x, tar, zen)
 
 
