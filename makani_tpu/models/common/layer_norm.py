@@ -32,6 +32,19 @@ def _use_fused_norm() -> bool:
     # and for backends where that fusion doesn't happen.
     return os.environ.get("MAKANI_FUSED_NORM", "0") == "1"
 
+
+def _use_onepass_var() -> bool:
+    # One-pass statistics: var = E[x^2] - E[x]^2 lets XLA fuse both reduces
+    # into a single read of x (the two-pass form's var depends on mean, so
+    # the stats cost two reads). Activations entering these norms are
+    # post-GEMM, near zero-mean, and the result only feeds rsqrt(var + eps),
+    # so the cancellation error of the textbook-unstable form is harmless
+    # here. Measured SLOWER end-to-end on the v5e bench (12.74 vs 13.20
+    # samples/s): the backward of E[x^2] restructures the bwd fusions XLA
+    # was already sharing (same failure mode as the hand-VJP norm, PERF.md).
+    # Kept opt-in for ablations; default off.
+    return os.environ.get("MAKANI_ONEPASS_VAR", "0") == "1"
+
 __all__ = ["InstanceNorm2d", "GeometricInstanceNormS2", "ChannelLayerNorm"]
 
 
@@ -73,8 +86,18 @@ class InstanceNorm2d(nn.Module):
             mask = (jnp.arange(nlat_pad) < self.nlat_phys).astype(jnp.float32)
             mask = mask[:, None, None] if self.channels_last else mask[:, None]
             count = self.nlat_phys * x.shape[lon_ax]
-            mean = jnp.sum(xs * mask, axis=sp, keepdims=True) / count
-            var = jnp.sum(jnp.square(xs - mean) * mask, axis=sp, keepdims=True) / count
+            if _use_onepass_var():
+                xm = xs * mask
+                mean = jnp.sum(xm, axis=sp, keepdims=True) / count
+                m2 = jnp.sum(xm * xs, axis=sp, keepdims=True) / count
+                var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            else:
+                mean = jnp.sum(xs * mask, axis=sp, keepdims=True) / count
+                var = jnp.sum(jnp.square(xs - mean) * mask, axis=sp, keepdims=True) / count
+        elif _use_onepass_var():
+            mean = jnp.mean(xs, axis=sp, keepdims=True)
+            m2 = jnp.mean(jnp.square(xs), axis=sp, keepdims=True)
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         else:
             mean = jnp.mean(xs, axis=sp, keepdims=True)
             var = jnp.var(xs, axis=sp, keepdims=True)
@@ -132,10 +155,18 @@ class GeometricInstanceNormS2(nn.Module):
         xs = x.astype(jnp.float32)
         if self.channels_last:
             mean = self._quad(xs, channels_last=True)[..., None, None, :]
-            var = self._quad(jnp.square(xs - mean), channels_last=True)[..., None, None, :]
+            if _use_onepass_var():
+                m2 = self._quad(jnp.square(xs), channels_last=True)[..., None, None, :]
+                var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            else:
+                var = self._quad(jnp.square(xs - mean), channels_last=True)[..., None, None, :]
         else:
             mean = self._quad(xs)[..., None, None]
-            var = self._quad(jnp.square(xs - mean))[..., None, None]
+            if _use_onepass_var():
+                m2 = self._quad(jnp.square(xs))[..., None, None]
+                var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            else:
+                var = self._quad(jnp.square(xs - mean))[..., None, None]
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             if self.channels_last:

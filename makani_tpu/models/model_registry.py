@@ -161,6 +161,7 @@ def get_model(params, multistep: bool = False):
         "encoder_bias",
         "layer_scale",
         "onnx_file",
+        "remat_policy",
     ):
         if key in fields and params.get(key, None) is not None:
             kwargs[key] = params.get(key)

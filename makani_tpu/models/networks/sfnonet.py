@@ -351,6 +351,15 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     spectral_layers: int = 3
     use_bias: bool = False
     checkpointing_level: int = 0
+    # selective rematerialization: "dots" wraps every processor block in
+    # jax.checkpoint with the dots_saveable policy — GEMM/conv outputs are
+    # stored for the backward pass, while elementwise chains (norms,
+    # activations, skips) are recomputed from them, trading VPU recompute
+    # for the HBM write+read of each stored intermediate (the step is
+    # bandwidth-bound, PERF.md roofline). "full" = remat whole blocks
+    # saving nothing (equivalent to checkpointing_level 3). Orthogonal to
+    # checkpointing_level; ignored when level >= 3 already remats blocks.
+    remat_policy: str = "none"
     # internal activation layout: channels-last (B, H, W, C) keeps every
     # pointwise GEMM's contracting dim minormost — measured 1.6x faster on the
     # full-res encoder/decoder GEMMs (PERF.md). External API stays NCHW.
@@ -506,7 +515,16 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
 
         dpr = [float(v) for v in _np.linspace(0, self.path_drop_rate, self.num_layers)]
         # checkpointing level >= 3 remats each block (ref sfnonet.py:857-864)
-        block_cls = nn.remat(NeuralOperatorBlock, static_argnums=(2,)) if self.checkpointing_level >= 3 else NeuralOperatorBlock
+        if self.checkpointing_level >= 3:
+            block_cls = nn.remat(NeuralOperatorBlock, static_argnums=(2,))
+        elif self.remat_policy == "dots":
+            block_cls = nn.remat(
+                NeuralOperatorBlock, static_argnums=(2,), policy=jax.checkpoint_policies.dots_saveable
+            )
+        elif self.remat_policy == "full":
+            block_cls = nn.remat(NeuralOperatorBlock, static_argnums=(2,))
+        else:
+            block_cls = NeuralOperatorBlock
         for i in range(self.num_layers):
             first, last = i == 0, i == self.num_layers - 1
             fwd_t = self.trans_down if first else self.trans

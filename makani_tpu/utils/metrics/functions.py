@@ -86,7 +86,10 @@ def ensemble_crps(ens, obs, quad, fair: bool = True, mask=None):
         # convert the fair spread term to the biased 1/E^2 normalization
         ranks = jnp.arange(E, dtype=ens.dtype)
         coeff = 2.0 * ranks - E + 1.0
-        corr = jnp.sum(coeff * ens_last, axis=-1) * (1.0 / (E * E) - 1.0 / (E * (E - 1.0))) if E > 1 else 0.0
+        # biased = term1 - S/E^2 vs fair = term1 - S/(E(E-1)) with
+        # S = sum_i (2i - E + 1) x_(i); subtracting LESS spread, so the
+        # correction is + S (1/(E(E-1)) - 1/E^2)
+        corr = jnp.sum(coeff * ens_last, axis=-1) * (1.0 / (E * (E - 1.0)) - 1.0 / (E * E)) if E > 1 else 0.0
         crps = crps + corr
     return quad(_mask_weight(crps, mask))
 

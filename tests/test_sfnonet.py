@@ -113,3 +113,23 @@ def test_distributed_gradients_match_serial():
     for k, v in flat_ser:
         key = jax.tree_util.keystr(k)
         np.testing.assert_allclose(np.asarray(flat_dist[key]), np.asarray(v), atol=2e-5, err_msg=key)
+
+
+@pytest.mark.parametrize("policy", ["dots", "full"])
+def test_remat_policy_value_and_grad_parity(policy):
+    """Selective remat (dots_saveable / full block remat) must be a pure
+    scheduling choice: values and gradients identical to the no-remat net."""
+    base = SphericalFourierNeuralOperatorNet(**KW)
+    remat = SphericalFourierNeuralOperatorNet(remat_policy=policy, **KW)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 24, 48))
+    params = base.init(jax.random.PRNGKey(0), x)
+
+    y0 = base.apply(params, x)
+    y1 = remat.apply(params, x)
+    # recompute reassociates fp ops; only scheduling may differ, not math
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+
+    g0 = jax.grad(lambda p: jnp.mean(base.apply(p, x) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.mean(remat.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
