@@ -88,6 +88,10 @@ def get_climatology(params):
         return None
     out_channels = np.asarray(params.get("out_channels"))
     clim = tm[0, out_channels]
+    # bias/scale rows follow in_channels order — pick the row matching each
+    # output channel (out_channels may be a subset/reordering of in_channels)
     bias, scale = get_data_normalization(params)
-    clim = (clim - bias[0]) / scale[0]
+    in_channels = np.asarray(params.get("in_channels", range(len(params.get("channel_names")))))
+    rows = np.asarray([int(np.where(in_channels == c)[0][0]) for c in out_channels])
+    clim = (clim - bias[0, rows]) / scale[0, rows]
     return clim.astype(np.float32)
