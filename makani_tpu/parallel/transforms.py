@@ -150,9 +150,37 @@ class DistributedRealSHT(_DistBase):
             out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis, None),
         )
 
+        def analysis_cl(x, table):
+            # x local: (B, K_loc, W_loc, C); same collective pattern as the
+            # NCHW path with the channel split moved to the trailing axis, so
+            # the channels-last GEMM layouts survive spatial distribution
+            if w > 1:
+                x = lax.all_to_all(x, self.w_axis, split_axis=3, concat_axis=2, tiled=True)
+            xr = fft_compat.rfft_cl_s(
+                x.astype(jnp.float32), n=self.nlon, norm="forward", mout=min(self.mmax_pad, n_half)
+            )  # (B, K_loc, M, C/w, 2)
+            if self.mmax_pad > n_half:
+                xr = jnp.pad(xr, [(0, 0)] * (xr.ndim - 3) + [(0, self.mmax_pad - n_half), (0, 0), (0, 0)])
+            if w > 1:
+                xr = lax.all_to_all(xr, self.w_axis, split_axis=2, concat_axis=3, tiled=True)
+            part = jnp.einsum("bkmcr,mlk->blmcr", xr, table, precision=transform_precision())
+            if h > 1:
+                part = lax.psum_scatter(part, self.h_axis, scatter_dimension=1, tiled=True)
+            return part  # (B, L_loc, M_loc, C, 2)
+
+        self._fn_cl = self._shard(
+            analysis_cl,
+            in_specs=(self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None), self._spec(self.w_axis, None, self.h_axis)),
+            out_specs=self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None, None),
+        )
+
     def analysis(self, x):
         """Split-complex analysis: real field -> (..., L_pad, M_pad, 2)."""
         return self._fn(x, self._table)
+
+    def analysis_cl(self, x):
+        """Channels-last analysis: (..., K_pad, W, C) -> (..., L_pad, M_pad, C, 2)."""
+        return self._fn_cl(x, self._table)
 
     def __call__(self, x):
         return fft_compat.to_complex(self._fn(x, self._table))
@@ -201,9 +229,33 @@ class DistributedInverseRealSHT(_DistBase):
             out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
         )
 
+        def synthesis_cl(cr, table):
+            # cr local: (B, L_loc, M_loc, C, 2)
+            if h > 1:
+                cr = lax.all_gather(cr, self.h_axis, axis=1, tiled=True)  # (B, L_pad, M_loc, C, 2)
+            xk = jnp.einsum("blmcr,mlk->bkmcr", cr, table, precision=transform_precision())
+            if w > 1:
+                xk = lax.all_to_all(xk, self.w_axis, split_axis=3, concat_axis=2, tiled=True)
+            if self.mmax_pad > n_half:
+                xk = xk[..., :n_half, :, :]
+            x = fft_compat.irfft_cl_s(xk, n=self.nlon, norm="forward")  # (B, K_loc, W, C/w)
+            if w > 1:
+                x = lax.all_to_all(x, self.w_axis, split_axis=2, concat_axis=3, tiled=True)
+            return x
+
+        self._fn_cl = self._shard(
+            synthesis_cl,
+            in_specs=(self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None, None), self._spec(self.w_axis, None, self.h_axis)),
+            out_specs=self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None),
+        )
+
     def synthesis(self, c2):
         """Split-complex synthesis: (..., L_pad, M_pad, 2) -> real field."""
         return self._fn(c2, self._table)
+
+    def synthesis_cl(self, c2):
+        """Channels-last synthesis: (..., L_pad, M_pad, C, 2) -> (..., K_pad, W, C)."""
+        return self._fn_cl(c2, self._table)
 
     def __call__(self, c):
         return self._fn(fft_compat.from_complex(c), self._table)
@@ -259,8 +311,37 @@ class DistributedRealFFT2(_DistBase):
             out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis, None),
         )
 
+        def forward_cl(x):
+            # x local: (B, K_loc, W_loc, C)
+            if w > 1:
+                x = lax.all_to_all(x, self.w_axis, split_axis=3, concat_axis=2, tiled=True)
+            xr = fft_compat.rfft_cl_s(x.astype(jnp.float32), n=nlon, norm="ortho", mout=min(self.mmax_pad, n_half))
+            if self.mmax_pad > n_half:
+                xr = jnp.pad(xr, [(0, 0)] * (xr.ndim - 3) + [(0, self.mmax_pad - n_half), (0, 0), (0, 0)])
+            if w > 1:
+                xr = lax.all_to_all(xr, self.w_axis, split_axis=2, concat_axis=3, tiled=True)
+            if h > 1:
+                xr = lax.all_to_all(xr, self.h_axis, split_axis=3, concat_axis=1, tiled=True)
+            yr = fft_compat.fft_lat_cl_s(xr, n=nlat, norm="ortho")
+            yr = jnp.concatenate([yr[..., :lmax_high, :, :, :], yr[..., nlat - lmax_low :, :, :, :]], axis=-4)
+            if self.lmax_pad > lmax:
+                yr = jnp.pad(yr, [(0, 0)] * (yr.ndim - 4) + [(0, self.lmax_pad - lmax), (0, 0), (0, 0), (0, 0)])
+            if h > 1:
+                yr = lax.all_to_all(yr, self.h_axis, split_axis=1, concat_axis=3, tiled=True)
+            return yr
+
+        self._fn_cl = self._shard(
+            forward_cl,
+            in_specs=(self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None),),
+            out_specs=self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None, None),
+        )
+
     def analysis(self, x):
         return self._fn(x)
+
+    def analysis_cl(self, x):
+        """Channels-last: (..., K, W, C) -> (..., L_pad, M_pad, C, 2)."""
+        return self._fn_cl(x)
 
     def __call__(self, x):
         return fft_compat.to_complex(self._fn(x))
@@ -309,8 +390,39 @@ class DistributedInverseRealFFT2(_DistBase):
             out_specs=self._spec(("batch", "ensemble"), None, self.h_axis, self.w_axis),
         )
 
+        def inverse_cl(cr):
+            # cr local: (B, L_loc, M_loc, C, 2)
+            if h > 1:
+                cr = lax.all_to_all(cr, self.h_axis, split_axis=3, concat_axis=1, tiled=True)
+            cc = cr[..., :lmax, :, :, :]
+            high = cc[..., :lmax_high, :, :, :]
+            low = cc[..., lmax - lmax_low :, :, :, :]
+            pad = [(0, 0)] * (cc.ndim - 4) + [(0, nlat - lmax), (0, 0), (0, 0), (0, 0)]
+            cc = jnp.concatenate([jnp.pad(high, pad), low], axis=-4)
+            yr = fft_compat.ifft_lat_cl_s(cc, n=nlat, norm="ortho")
+            if h > 1:
+                yr = lax.all_to_all(yr, self.h_axis, split_axis=1, concat_axis=3, tiled=True)
+            if w > 1:
+                yr = lax.all_to_all(yr, self.w_axis, split_axis=3, concat_axis=2, tiled=True)
+            if self.mmax_pad > n_half:
+                yr = yr[..., :n_half, :, :]
+            y = fft_compat.irfft_cl_s(yr, n=nlon, norm="ortho")
+            if w > 1:
+                y = lax.all_to_all(y, self.w_axis, split_axis=2, concat_axis=3, tiled=True)
+            return y
+
+        self._fn_cl = self._shard(
+            inverse_cl,
+            in_specs=(self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None, None),),
+            out_specs=self._spec(("batch", "ensemble"), self.h_axis, self.w_axis, None),
+        )
+
     def synthesis(self, c2):
         return self._fn(c2)
+
+    def synthesis_cl(self, c2):
+        """Channels-last: (..., L_pad, M_pad, C, 2) -> (..., K, W, C)."""
+        return self._fn_cl(c2)
 
     def __call__(self, c):
         return self._fn(fft_compat.from_complex(c))

@@ -170,3 +170,77 @@ def test_distributed_fft2_matches_serial(cfg):
     ref_x = np.asarray(ifft(ref))
     out_x = np.asarray(difft(jnp.asarray(out)))
     np.testing.assert_allclose(out_x, ref_x, atol=1e-4)
+
+
+@pytest.mark.parametrize("cfg", MESH_CONFIGS, ids=lambda c: f"h{c['h']}w{c['w']}")
+def test_distributed_sht_cl_matches_serial(cfg):
+    """Channels-last distributed analysis/synthesis vs the serial _cl path
+    (the layout that carries the 1.6x GEMM win to spatial distribution)."""
+    init_mesh(**cfg)
+    nlat, nlon, lmax = 18, 48, 16
+    mmax = lmax
+    sht = RealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+    isht = InverseRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+    dsht = DistributedRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+    disht = DistributedInverseRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+
+    rng = np.random.RandomState(3)
+    B, C = 2, 8
+    x = rng.randn(B, nlat, nlon, C).astype(np.float32)
+    xpad = np.zeros((B, dsht.nlat_pad, nlon, C), np.float32)
+    xpad[:, :nlat] = x
+
+    ref = np.asarray(sht.analysis_cl(jnp.asarray(x)))  # (B, lmax, mmax, C, 2)
+    out = np.asarray(dsht.analysis_cl(jnp.asarray(xpad)))
+    assert out.shape == (B, dsht.lmax_pad, dsht.mmax_pad, C, 2)
+    np.testing.assert_allclose(out[:, :lmax, :mmax], ref, atol=1e-4)
+    if dsht.lmax_pad > lmax:
+        assert np.abs(out[:, lmax:]).max() == 0.0
+
+    # synthesis round trip through the distributed inverse
+    back = np.asarray(disht.synthesis_cl(jnp.asarray(out)))
+    ref_back = np.asarray(isht.synthesis_cl(jnp.asarray(ref)))
+    np.testing.assert_allclose(back[:, :nlat], ref_back, atol=1e-4)
+    if disht.nlat_pad > nlat:
+        assert np.abs(back[:, nlat:]).max() == 0.0
+
+
+@pytest.mark.parametrize("cfg", [dict(h=2, w=2), dict(h=1, w=4)], ids=lambda c: f"h{c['h']}w{c['w']}")
+def test_distributed_fft2_cl_matches_serial(cfg):
+    init_mesh(**cfg)
+    nlat, nlon, lmax = 16, 48, 12
+    mmax = lmax
+    fft = RealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    ifft = InverseRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    dfft = DistributedRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+    difft = DistributedInverseRealFFT2(nlat, nlon, lmax=lmax, mmax=mmax)
+
+    rng = np.random.RandomState(4)
+    B, C = 2, 8
+    x = rng.randn(B, nlat, nlon, C).astype(np.float32)
+
+    ref = np.asarray(fft.analysis_cl(jnp.asarray(x)))
+    out = np.asarray(dfft.analysis_cl(jnp.asarray(x)))
+    assert out.shape == (B, dfft.lmax_pad, dfft.mmax_pad, C, 2)
+    np.testing.assert_allclose(out[:, :lmax, :mmax], ref[:, :lmax, :mmax], atol=1e-4)
+
+    back = np.asarray(difft.synthesis_cl(jnp.asarray(out)))
+    ref_back = np.asarray(ifft.synthesis_cl(jnp.asarray(ref)))
+    np.testing.assert_allclose(back, ref_back, atol=1e-4)
+
+
+def test_distributed_sht_cl_gradients_match_serial():
+    init_mesh(h=2, w=2)
+    nlat, nlon, lmax = 18, 32, 12
+    sht = RealSHT(nlat, nlon, lmax=lmax, mmax=lmax, grid="legendre-gauss")
+    dsht = DistributedRealSHT(nlat, nlon, lmax=lmax, mmax=lmax, grid="legendre-gauss")
+
+    rng = np.random.RandomState(5)
+    B, C = 2, 4
+    x = rng.randn(B, nlat, nlon, C).astype(np.float32)
+    xpad = np.zeros((B, dsht.nlat_pad, nlon, C), np.float32)
+    xpad[:, :nlat] = x
+
+    g_ref = np.asarray(jax.grad(lambda y: jnp.sum(sht.analysis_cl(y) ** 2))(jnp.asarray(x)))
+    g_out = np.asarray(jax.grad(lambda y: jnp.sum(dsht.analysis_cl(y) ** 2))(jnp.asarray(xpad)))
+    np.testing.assert_allclose(g_out[:, :nlat], g_ref, atol=1e-4)
