@@ -62,7 +62,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 3))
     embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 8))
+    steps = int(os.environ.get("BENCH_STEPS", 10))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
     # remat level 0-3 (enc/dec, +MLPs, +blocks; ref sfnonet.py:857-926)
     ckpt = int(os.environ.get("BENCH_CHECKPOINTING", 0))

@@ -34,6 +34,7 @@ from makani_tpu.models.common.layer_norm import ChannelLayerNorm, GeometricInsta
 from makani_tpu.models.common.spectral_convolution import SpectralConv
 from makani_tpu.models.networks.sfnonet import _ACTIVATIONS, build_spectral_transforms
 from makani_tpu.ops.disco import DiscoConvS2, compute_cutoff_radius, num_basis_functions
+from makani_tpu.parallel.disco import make_disco_conv
 from makani_tpu.ops.resample import ResampleS2
 from makani_tpu.utils.features import get_channel_groups, get_water_channels
 
@@ -101,7 +102,7 @@ class DiscreteContinuousEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.inp_shape[0], self.kernel_shape, self.basis_type)
-        conv_op = DiscoConvS2(
+        conv_op = make_disco_conv(
             self.inp_shape,
             self.out_shape,
             tuple(self.kernel_shape),
@@ -184,7 +185,7 @@ class DiscreteContinuousDecoder(nn.Module):
             x = resample(x)
 
         theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.out_shape[0], self.kernel_shape, self.basis_type)
-        conv_op = DiscoConvS2(
+        conv_op = make_disco_conv(
             self.out_shape,
             self.out_shape,
             tuple(self.kernel_shape),
@@ -266,7 +267,7 @@ class FCN3Block(nn.Module):
             )(x)
         elif self.conv_type == "local":
             theta_cutoff = self.theta_cutoff or 2 * compute_cutoff_radius(self.internal_shape[0], self.kernel_shape, self.basis_type)
-            conv_op = DiscoConvS2(
+            conv_op = make_disco_conv(
                 self.internal_shape,
                 self.internal_shape,
                 tuple(self.kernel_shape),
