@@ -43,6 +43,12 @@ def main():
 
     import jax
 
+    # persistent compilation cache (no-op through the axon relay, which does
+    # not serve cached executables across processes — measured; kept for
+    # real TPU hosts where it removes the ~5-10 min train-step compile)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/makani_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # the axon plugin ignores JAX_PLATFORMS; forcing another platform (CPU
     # smoke tests of the bench graph) needs the config knob
     if os.environ.get("BENCH_PLATFORM"):

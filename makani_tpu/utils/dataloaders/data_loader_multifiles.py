@@ -147,6 +147,46 @@ class MultifilesDataset:
             [cos_zenith_angle_from_timestamp(float(t), self._lon_grid, self._lat_grid) for t in ts_list]
         ).astype(np.float32)[:, None]
 
+    def _read_window_native(self, mm, indices, fidx, full_extent):
+        """Read time-step slabs (or tile rows) with the native pread pool.
+        Returns None when the native lib or the access pattern is unsuitable."""
+        from makani_tpu import native
+
+        if native.get_reader() is None:
+            return None
+        path = self.files[fidx]
+        base = int(mm.offset)
+        T = len(indices)
+        C, H, W = mm.shape[1:]
+        item = 4  # fp32
+        if full_extent:
+            sample = C * H * W * item
+            offsets = np.asarray([base + i * sample for i in indices], np.uint64)
+            sizes = np.full(T, sample, np.uint64)
+            dest = np.arange(T, dtype=np.uint64) * np.uint64(sample)
+            out = np.empty((T, C, H, W), np.float32)
+            native.read_blocks(path, offsets, sizes, out, dest, nthreads=int(os.environ.get("MAKANI_NATIVE_THREADS", "4")))
+            return out
+        sx, sy = self._sx, self._sy
+        if (sx.step or 1) != 1 or (sy.step or 1) != 1:
+            return None
+        rows = range(sx.start, min(sx.stop, H))
+        th, tw = len(rows), min(sy.stop, W) - sy.start
+        offsets = np.empty(T * C * th, np.uint64)
+        dest = np.empty(T * C * th, np.uint64)
+        k = 0
+        row_bytes = tw * item
+        for t, i in enumerate(indices):
+            for c in range(C):
+                for rj, x in enumerate(rows):
+                    offsets[k] = base + (((i * C + c) * H + x) * W + sy.start) * item
+                    dest[k] = ((t * C + c) * th + rj) * row_bytes
+                    k += 1
+        sizes = np.full(k, row_bytes, np.uint64)
+        out = np.empty((T, C, th, tw), np.float32)
+        native.read_blocks(path, offsets, sizes, out, dest, nthreads=int(os.environ.get("MAKANI_NATIVE_THREADS", "4")))
+        return out
+
     def _read_window(self, ds, indices, channels, fidx=None):
         """Read time steps ``indices`` x ``channels`` at the (tile) slices.
 
@@ -163,6 +203,16 @@ class MultifilesDataset:
             and self._sy.start == 0 and self._sy.stop >= self.file_shape[1] and (self._sy.step or 1) == 1
         )
         mm = self._file_mmap(fidx, ds) if fidx is not None else None
+        if mm is not None and os.environ.get("MAKANI_NATIVE_READER", "0") == "1":
+            # native thread-pool pread (makani_tpu/native/reader.cpp): the
+            # DALI-reader counterpart — bypasses the page-cache memcpy path
+            # and overlaps cold reads across threads, entirely outside the GIL
+            try:
+                out = self._read_window_native(mm, indices, fidx, full_extent)
+                if out is not None:
+                    return out if identity_ch else out[:, channels]
+            except Exception:
+                pass  # fall through to the memmap path
         if mm is not None:
             if full_extent:
                 # full slabs: basic-sliced memmap copy into a preallocated
