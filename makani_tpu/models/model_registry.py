@@ -53,6 +53,24 @@ def _populate():
         ("PanguOnnx", "makani_tpu.models.networks.pangu_onnx:PanguOnnx"),
     ]:
         _REGISTRY[name] = path
+    _load_entrypoint_models()
+
+
+def _load_entrypoint_models():
+    """Third-party models via the ``makani_tpu.models`` entry-point group
+    (the reference's ``makani.models`` group, ref pyproject.toml:191-201):
+    installed packages can register nettypes without forking the framework.
+    Lazily resolved: the entry point's ``module:attr`` string goes into the
+    registry and imports on first use."""
+    try:
+        from importlib.metadata import entry_points
+
+        eps = entry_points(group="makani_tpu.models")
+    except Exception:
+        return
+    for ep in eps:
+        if ep.name not in _REGISTRY:
+            _REGISTRY[ep.name] = ep.value
 
 
 def get_model_handle(nettype: str):

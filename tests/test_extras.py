@@ -245,3 +245,28 @@ def test_alpha_schedules():
     assert s.shape == (4,) and (np.diff(s) > 0).all()
     annealed = compute_alpha_per_step(3, training_progress=0.5, annealing="quadratic")
     np.testing.assert_allclose(annealed, a * 0.25, atol=1e-6)
+
+
+def test_entrypoint_model_discovery(monkeypatch):
+    """Third-party models registered under the makani_tpu.models entry-point
+    group appear in the registry (ref pyproject.toml makani.models group)."""
+    from makani_tpu.models import model_registry as mr
+
+    class FakeEP:
+        name = "MyExternalNet"
+        value = "makani_tpu.models.networks.debug:DebugNet"
+
+    monkeypatch.setattr(mr, "_REGISTRY", dict(mr._REGISTRY) if mr._REGISTRY else {})
+    real_eps = mr._load_entrypoint_models
+
+    def fake_eps():
+        mr._REGISTRY.setdefault(FakeEP.name, FakeEP.value)
+
+    monkeypatch.setattr(mr, "_load_entrypoint_models", fake_eps)
+    mr._REGISTRY.clear()
+    mr._populate()
+    assert "MyExternalNet" in mr.list_models()
+    handle = mr.get_model_handle("MyExternalNet")
+    from makani_tpu.models.networks.debug import DebugNet
+
+    assert handle is DebugNet
