@@ -105,6 +105,28 @@ def get_static_features(params) -> Optional[np.ndarray]:
         else:
             feats.append(lsm[None, None])
 
+    if params.get("add_soiltype", False):
+        # soil type classes 0 (sea) .. 7, one-hot into 8 channels
+        # (ref auxiliary_fields.py:40-47 + features.py xst0..7)
+        st = _read_field(params.get("soiltype_path"), candidates=("slt", "SLT", "soiltype"))
+        ist = np.clip(np.round(st).astype(np.int64), 0, 7)
+        onehot = np.eye(8, dtype=np.float32)[ist]  # (H, W, 8)
+        feats.append(np.transpose(onehot, (2, 0, 1))[None])
+
+    if params.get("add_copernicus_emb", False):
+        # learned 8-dim static surface embedding, stored (H, W, 8) or
+        # (8, H, W) npy (ref auxiliary_fields.py:58-66 + features.py xcop0..7)
+        emb = np.load(params.get("copernicus_emb_path")).astype(np.float32)
+        emb = np.squeeze(emb)
+        if emb.ndim != 3:
+            raise IOError(f"copernicus embedding is not 3D (shape {emb.shape})")
+        hw = (params.get("img_shape_x"), params.get("img_shape_y"))
+        if emb.shape[:2] == hw:  # stored (H, W, 8) -> (8, H, W)
+            emb = np.transpose(emb, (2, 0, 1))
+        elif emb.shape[1:] != hw:
+            raise IOError(f"copernicus embedding shape {emb.shape} does not match the grid {hw}")
+        feats.append(emb[None])
+
     if not feats:
         return None
     return np.concatenate(feats, axis=1).astype(np.float32)

@@ -183,3 +183,33 @@ def test_multistep_scan_matches_unrolled():
     # eval path is unaffected (single step)
     e2 = m2.apply(p, x, zen[:, :2], train=False)
     assert e2.shape == (2, 3, 16, 32)
+
+
+def test_static_soiltype_onehot(tmp_path):
+    import h5py
+
+    st = np.zeros((8, 16), np.float32)
+    st[2:5] = 3.0
+    st[6:] = 7.0
+    p = str(tmp_path / "soiltype.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("slt", data=st[None])
+    pre = make_pre(n_history=0, add_soiltype=True, soiltype_path=p)
+    assert pre.n_static_channels == 8
+    x = jnp.zeros((2, 2, 8, 16))
+    out = np.asarray(pre.add_static_features(x))
+    assert out.shape == (2, 10, 8, 16)
+    # one-hot: class 3 rows flag channel 3, sea rows channel 0
+    assert out[0, 2 + 3, 3, 0] == 1.0 and out[0, 2 + 0, 0, 0] == 1.0
+    np.testing.assert_allclose(out[:, 2:].sum(axis=1), 1.0)
+
+
+def test_static_copernicus_embedding(tmp_path):
+    emb = np.random.RandomState(0).randn(8, 16, 8).astype(np.float32)  # (H, W, 8)
+    p = str(tmp_path / "cop.npy")
+    np.save(p, emb)
+    pre = make_pre(n_history=0, add_copernicus_emb=True, copernicus_emb_path=p)
+    assert pre.n_static_channels == 8
+    x = jnp.zeros((1, 2, 8, 16))
+    out = np.asarray(pre.add_static_features(x))
+    np.testing.assert_allclose(out[0, 2:], np.transpose(emb, (2, 0, 1)), atol=1e-6)
