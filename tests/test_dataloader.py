@@ -112,3 +112,47 @@ def test_multifiles_crop_and_subsample(tmp_path):
     ds_full = MultifilesDataset(params_full, paths["train_data_path"], train=True)
     f = ds_full[0]
     np.testing.assert_allclose(s["inp"], f["inp"][:, :, 2:14:2, 4:24:2])
+
+
+def test_grain_loader_matches_dataset(tmp_path):
+    """GrainDataLoader (the DALI-pipeline counterpart) must assemble the same
+    batches the dataset yields: shapes, flattened history channels, zenith
+    concatenation; shuffles reproducibly per epoch."""
+    grain = pytest.importorskip("grain")
+    from makani_tpu.utils.dataloaders.data_loader_grain import GrainDataLoader
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(tmp_path, **paths)
+    ds = MultifilesDataset(params, paths["train_data_path"], train=True)
+
+    loader = GrainDataLoader(ds, batch_size=2, shuffle=False, num_workers=0, prefetch=1)
+    assert len(loader) == len(ds) // 2
+    batches = list(iter(loader))
+    assert len(batches) == len(loader)
+    b0 = batches[0]
+    assert b0["inp"].shape == (2, 5, 16, 32)
+    assert b0["tar"].shape == (2, 5, 16, 32)
+    assert "zen" in b0
+    # unshuffled: first batch is samples 0 and 1, channels flattened over time
+    s0, s1 = ds[0], ds[1]
+    np.testing.assert_allclose(b0["inp"][0], s0["inp"].reshape(-1, 16, 32), atol=1e-6)
+    np.testing.assert_allclose(b0["inp"][1], s1["inp"].reshape(-1, 16, 32), atol=1e-6)
+
+
+def test_grain_loader_shuffle_reproducible_and_reshuffles(tmp_path):
+    pytest.importorskip("grain")
+    from makani_tpu.utils.dataloaders.data_loader_grain import GrainDataLoader
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+
+    paths = init_hdf5_dataset(tmp_path)
+    params = get_default_parameters(tmp_path, **paths)
+    ds = MultifilesDataset(params, paths["train_data_path"], train=True)
+
+    la = GrainDataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=0)
+    lb = GrainDataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=0)
+    ea = np.stack([b["inp"] for b in iter(la)])
+    eb = np.stack([b["inp"] for b in iter(lb)])
+    np.testing.assert_allclose(ea, eb)  # same seed + epoch -> same order
+    ea2 = np.stack([b["inp"] for b in iter(la)])  # epoch advanced
+    assert not np.allclose(ea, ea2)  # reshuffled between epochs
