@@ -302,3 +302,19 @@ def test_pool_and_resize_ops():
         xt = torch.from_numpy(x)
         np.testing.assert_allclose(mp, torch.nn.functional.max_pool2d(xt, 2).numpy(), atol=1e-6)
         np.testing.assert_allclose(ap, torch.nn.functional.avg_pool2d(xt, 2).numpy(), atol=1e-6)
+
+
+def test_conv_transpose_grouped_parity_vs_torch():
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 4, 6, 5)).astype(np.float32)
+    w = rng.standard_normal((4, 3, 2, 3)).astype(np.float32)  # (C_in, C_out/g, kh, kw), g=2
+    b = rng.standard_normal(6).astype(np.float32)
+    nodes = [op.make_node("ConvTranspose", ["x", "w", "b"], ["y"], strides=[2, 1], group=2, pads=[1, 0, 1, 0])]
+    g = op.make_graph(nodes, "convTg", [("x", F32, x.shape)], [("y", F32, (1,))], [("w", w), ("b", b)])
+    (got,) = _run(op.save_model(op.make_model(g)), {"x": x})
+    with torch.no_grad():
+        want = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+            stride=(2, 1), padding=(1, 0), groups=2,
+        ).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
