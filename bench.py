@@ -68,14 +68,15 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 3))
     embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 10))
+    steps = int(os.environ.get("BENCH_STEPS", 6))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
     # remat level 0-3 (enc/dec, +MLPs, +blocks; ref sfnonet.py:857-926)
     ckpt = int(os.environ.get("BENCH_CHECKPOINTING", 0))
-    # 8 steps per dispatch (lax.scan): measures device throughput without
-    # the sandbox relay's per-call RPC overhead (BENCH_SCAN=1 reverts;
-    # measured 13.20 -> 13.59 samples/s, PERF.md round 3)
-    scan_k = int(os.environ.get("BENCH_SCAN", 8))
+    # 16 steps per dispatch (lax.scan): measures device throughput without
+    # the sandbox relay's per-call RPC overhead, and amortizes the loop-entry
+    # relayout when the AUTO-layout path is unavailable (BENCH_SCAN=1
+    # reverts; measured 13.20 -> 13.62 samples/s, PERF.md round 3)
+    scan_k = int(os.environ.get("BENCH_SCAN", 16))
 
     names = [f"ch{i}" for i in range(73)]
     params = ParamsBase(
@@ -215,18 +216,32 @@ def main():
                 )
                 compiled = jitted.lower(model_params, opt_state, x, tar, zen).compile()
                 fmts = compiled.input_formats[0]
-                carry = (
-                    jax.device_put(model_params, fmts[0]),
-                    jax.device_put(opt_state, fmts[1]),
+                # relayout via a jitted identity rather than device_put: the
+                # relay has been seen to drop device_put's custom layouts
+                # (silently), while compiled-program OUTPUT layouts are the
+                # same mechanism the train step itself relies on
+                relayout = jax.jit(lambda t: t, out_shardings=tuple(fmts))
+                carry0, carry1, x_l, tar_l, zen_l = relayout(
+                    (model_params, opt_state, x, tar, zen)
                 )
-                x = jax.device_put(x, fmts[2])
-                tar = jax.device_put(tar, fmts[3])
-                zen = jax.device_put(zen, fmts[4])
+                carry_l = (carry0, carry1)
+                # probe one call end-to-end (including the loss fetch): the
+                # relay's device_put has been seen to drop custom layouts,
+                # which only surfaces at call time — fall back cleanly then
+                loss, *carry_l = compiled(*carry_l, x_l, tar_l, zen_l)
+                float(loss)
+                carry = carry_l
+                x, tar, zen = x_l, tar_l, zen_l
                 train_step = compiled
+                warmup = max(warmup - 1, 0)  # the probe was one warmup step
             except Exception as e:
-                print(f"# auto-layout unavailable ({e}); falling back", file=sys.stderr)
+                print(f"# auto-layout unavailable ({type(e).__name__}: {e}); falling back", file=sys.stderr)
         if train_step is None:
             train_step = jax.jit(_train_step, donate_argnums=(0, 1))
+            # the probe may have donated the original buffers; rebuild state
+            model_params = model.init(jax.random.PRNGKey(0), x, zen)
+            opt_state = tx.init(model_params)
+            carry = (model_params, opt_state)
 
     for _ in range(warmup):
         loss, *carry = train_step(*carry, x, tar, zen)
