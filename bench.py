@@ -68,15 +68,16 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 3))
     embed = int(os.environ.get("BENCH_EMBED", 384))
     layers = int(os.environ.get("BENCH_LAYERS", 8))
-    steps = int(os.environ.get("BENCH_STEPS", 6))
+    steps = int(os.environ.get("BENCH_STEPS", 3))
     warmup = int(os.environ.get("BENCH_WARMUP", 2))
     # remat level 0-3 (enc/dec, +MLPs, +blocks; ref sfnonet.py:857-926)
     ckpt = int(os.environ.get("BENCH_CHECKPOINTING", 0))
-    # 16 steps per dispatch (lax.scan): measures device throughput without
+    # 32 steps per dispatch (lax.scan): measures device throughput without
     # the sandbox relay's per-call RPC overhead, and amortizes the loop-entry
     # relayout when the AUTO-layout path is unavailable (BENCH_SCAN=1
-    # reverts; measured 13.20 -> 13.62 samples/s, PERF.md round 3)
-    scan_k = int(os.environ.get("BENCH_SCAN", 16))
+    # reverts; measured 13.20 -> 13.62 samples/s across the scan sweep,
+    # PERF.md round 3; the no-AUTO fallback reads 13.61 at scan=32)
+    scan_k = int(os.environ.get("BENCH_SCAN", 32))
 
     names = [f"ch{i}" for i in range(73)]
     params = ParamsBase(
