@@ -224,6 +224,41 @@ class OnnxGraphExecutor:
     def op_Not(self, inputs, attrs):
         return [_xp(*inputs).logical_not(inputs[0])]
 
+    def op_Floor(self, inputs, attrs):
+        return [_xp(*inputs).floor(inputs[0])]
+
+    def op_Ceil(self, inputs, attrs):
+        return [_xp(*inputs).ceil(inputs[0])]
+
+    def op_Round(self, inputs, attrs):
+        # ONNX Round: half-to-even, numpy/jnp .round matches
+        return [_xp(*inputs).round(inputs[0])]
+
+    def op_Sin(self, inputs, attrs):
+        return [_xp(*inputs).sin(inputs[0])]
+
+    def op_Cos(self, inputs, attrs):
+        return [_xp(*inputs).cos(inputs[0])]
+
+    def op_Mod(self, inputs, attrs):
+        a, b = inputs
+        if attrs.get("fmod", 0):
+            return [_xp(a, b).fmod(a, b)]
+        return [_xp(a, b).mod(a, b)]
+
+    def op_Softplus(self, inputs, attrs):
+        return [jax.nn.softplus(jnp.asarray(inputs[0]))]
+
+    def op_HardSigmoid(self, inputs, attrs):
+        alpha = attrs.get("alpha", 0.2)
+        beta = attrs.get("beta", 0.5)
+        return [jnp.clip(alpha * jnp.asarray(inputs[0]) + beta, 0.0, 1.0)]
+
+    def op_Elu(self, inputs, attrs):
+        alpha = attrs.get("alpha", 1.0)
+        x = jnp.asarray(inputs[0])
+        return [jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0))]
+
     def op_Cast(self, inputs, attrs):
         to = DTYPE_TO_NP[attrs["to"]]
         x = inputs[0]

@@ -318,3 +318,30 @@ def test_conv_transpose_grouped_parity_vs_torch():
             stride=(2, 1), padding=(1, 0), groups=2,
         ).numpy()
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_additional_elementwise_ops_vs_torch():
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((3, 5)).astype(np.float32) * 2.0
+    nodes = [
+        op.make_node("Floor", ["x"], ["f"]),
+        op.make_node("Ceil", ["x"], ["c"]),
+        op.make_node("Sin", ["x"], ["s"]),
+        op.make_node("Cos", ["x"], ["co"]),
+        op.make_node("Softplus", ["x"], ["sp"]),
+        op.make_node("Elu", ["x"], ["el"], alpha=1.0),
+        op.make_node("HardSigmoid", ["x"], ["hs"], alpha=0.2, beta=0.5),
+    ]
+    outs = [(n, F32, x.shape) for n in ("f", "c", "s", "co", "sp", "el", "hs")]
+    g = op.make_graph(nodes, "elem", [("x", F32, x.shape)], outs, [])
+    f, c, s, co, sp, el, hs = _run(op.save_model(op.make_model(g)), {"x": x})
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        np.testing.assert_allclose(f, np.floor(x), atol=1e-6)
+        np.testing.assert_allclose(c, np.ceil(x), atol=1e-6)
+        np.testing.assert_allclose(s, np.sin(x), atol=1e-6)
+        np.testing.assert_allclose(co, np.cos(x), atol=1e-6)
+        np.testing.assert_allclose(sp, torch.nn.functional.softplus(xt).numpy(), atol=1e-5)
+        np.testing.assert_allclose(el, torch.nn.functional.elu(xt).numpy(), atol=1e-5)
+        # ONNX HardSigmoid(alpha=0.2) != torch's (alpha=1/6): check the formula
+        np.testing.assert_allclose(hs, np.clip(0.2 * x + 0.5, 0.0, 1.0), atol=1e-6)
