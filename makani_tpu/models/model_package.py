@@ -55,11 +55,15 @@ def save_model_package(params, model_params, directory: str):
     stats_dir = os.path.join(directory, "stats")
     os.makedirs(stats_dir, exist_ok=True)
     try:
-        from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
+        from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization, get_out_normalization
 
         bias, scale = get_data_normalization(params)
         np.save(os.path.join(stats_dir, "bias.npy"), bias)
         np.save(os.path.join(stats_dir, "scale.npy"), scale)
+        # out stats differ when out_channels reorders/subsets in_channels
+        out_bias, out_scale = get_out_normalization(params)
+        np.save(os.path.join(stats_dir, "out_bias.npy"), out_bias)
+        np.save(os.path.join(stats_dir, "out_scale.npy"), out_scale)
     except Exception:
         pass
     return LocalPackage(directory)
@@ -69,19 +73,24 @@ class ModelWrapper:
     """Plain physical-units callable around a restored model
     (ref model_package.py:200-380)."""
 
-    def __init__(self, model, model_params, bias=None, scale=None):
+    def __init__(self, model, model_params, bias=None, scale=None, out_bias=None, out_scale=None):
         self.model = model
         self.model_params = model_params
         self.bias = None if bias is None else jnp.asarray(bias)
         self.scale = None if scale is None else jnp.asarray(scale)
+        self.out_bias = None if out_bias is None else jnp.asarray(out_bias)
+        self.out_scale = None if out_scale is None else jnp.asarray(out_scale)
         self._apply = jax.jit(lambda p, x, z: model.apply(p, x, z, train=False))
 
     def __call__(self, x, zenith=None):
         if self.bias is not None:
             x = (x - self.bias) / self.scale
         y = self._apply(self.model_params, x, zenith)
-        if self.bias is not None:
-            nb = self.bias.shape[1]
+        if self.out_bias is not None:
+            y = y * self.out_scale + self.out_bias
+        elif self.bias is not None:
+            # legacy packages without out stats: assume out is an in prefix
+            nb = y.shape[1]
             y = y * self.scale[:, :nb] + self.bias[:, :nb]
         return y
 
@@ -105,10 +114,14 @@ def load_model_package(directory_or_package) -> ModelWrapper:
     ckptr = ocp.StandardCheckpointer()
     model_params = ckptr.restore(os.path.abspath(package.get("params")), template)
 
-    bias = scale = None
+    bias = scale = out_bias = out_scale = None
     bias_path = package.get("stats/bias.npy")
     if os.path.isfile(bias_path):
         bias = np.load(bias_path)
         scale = np.load(package.get("stats/scale.npy"))
+    ob_path = package.get("stats/out_bias.npy")
+    if os.path.isfile(ob_path):
+        out_bias = np.load(ob_path)
+        out_scale = np.load(package.get("stats/out_scale.npy"))
 
-    return ModelWrapper(model, model_params, bias=bias, scale=scale)
+    return ModelWrapper(model, model_params, bias=bias, scale=scale, out_bias=out_bias, out_scale=out_scale)

@@ -228,14 +228,15 @@ def get_model(params, multistep: bool = False):
     if constraints_cfg:
         from makani_tpu.models.parametrizations import ConstraintsWrapper, build_constraints
 
+        from makani_tpu.utils.dataloaders.data_helpers import get_out_normalization, out_channel_names
+
         bias = scale = None
         try:
-            from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
-
-            bias, scale = get_data_normalization(params)
+            # constraints act on model outputs -> out_channels row order
+            bias, scale = get_out_normalization(params)
         except Exception:
             pass
-        names = [params.get("channel_names")[i] for i in params.get("out_channels")]
+        names = out_channel_names(params)
         model = ConstraintsWrapper(model=model, constraints=tuple(build_constraints(constraints_cfg, names, bias, scale)))
 
     if multistep:

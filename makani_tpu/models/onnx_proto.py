@@ -162,7 +162,10 @@ class TensorProto:
         if self.external:
             raise ValueError(f"initializer {self.name!r} uses external data; not supported")
         if self.data_type == BFLOAT16:
-            a = np.frombuffer(self.raw_data, dtype=np.uint16).astype(np.uint32) << 16
+            if self.raw_data:
+                a = np.frombuffer(self.raw_data, dtype=np.uint16).astype(np.uint32) << 16
+            else:  # typed-field storage: one bf16 bit pattern per int32
+                a = (np.asarray(self.int32_data, dtype=np.int32).astype(np.uint32) & 0xFFFF) << 16
             return a.view(np.float32).reshape(self.dims).copy()
         np_dt = DTYPE_TO_NP.get(self.data_type)
         if np_dt is None:
@@ -175,7 +178,12 @@ class TensorProto:
             return np.asarray(self.int64_data, dtype=np.int64).reshape(self.dims)
         if self.data_type == 11 and self.double_data:
             return np.asarray(self.double_data, dtype=np.float64).reshape(self.dims)
-        if self.data_type in (2, 3, 4, 5, 6, 9, 10) and self.int32_data:
+        if self.data_type == 10 and self.int32_data:
+            # fp16 typed-field storage holds raw IEEE-754 half bit patterns
+            # packed one-per-int32 (ONNX TensorProto spec), not numeric values
+            bits = np.asarray(self.int32_data, dtype=np.int32).astype(np.uint32) & 0xFFFF
+            return bits.astype(np.uint16).view(np.float16).reshape(self.dims)
+        if self.data_type in (2, 3, 4, 5, 6, 9) and self.int32_data:
             return np.asarray(self.int32_data, dtype=np.int32).astype(np_dt).reshape(self.dims)
         return np.zeros(self.dims, dtype=np_dt)
 

@@ -13,7 +13,14 @@ import os
 
 import numpy as np
 
-__all__ = ["get_data_normalization", "get_time_diff_stds", "get_time_means", "get_climatology"]
+__all__ = [
+    "get_data_normalization",
+    "get_out_normalization",
+    "out_channel_names",
+    "get_time_diff_stds",
+    "get_time_means",
+    "get_climatology",
+]
 
 
 def _load(path):
@@ -60,6 +67,43 @@ def get_data_normalization(params):
             raise ValueError(f"Unknown normalization mode {mode} for channel {name}")
 
     return bias.astype(np.float32), scale.astype(np.float32)
+
+
+def out_channel_names(params):
+    """Names of the out_channels selection.
+
+    ``channel_names`` pairs positionally with ``in_channels`` (both select
+    from the dataset's channel set); out_channels may reorder or subset it.
+    Dataset channels absent from in_channels get a synthetic ``ch<i>`` name.
+    """
+    names = params.get("channel_names")
+    if names is None:
+        return None
+    in_ch = list(params.get("in_channels", range(len(names))))
+    out_ch = list(params.get("out_channels", in_ch))
+    pos = {int(c): i for i, c in enumerate(in_ch)}
+    return [names[pos[int(c)]] if int(c) in pos else f"ch{int(c)}" for c in out_ch]
+
+
+def get_out_normalization(params):
+    """(bias, scale) rows in *out_channels* order, shape (1, C_out, 1, 1).
+
+    get_data_normalization returns rows in in_channels order; targets,
+    climatology, and model outputs are in out_channels order (which may be a
+    reordering), so they must be normalized with these stats instead (ref
+    data_helpers.py selects in/out rows separately).
+    """
+    out_ch = params.get("out_channels")
+    if out_ch is None or np.array_equal(
+        np.asarray(params.get("in_channels", out_ch)), np.asarray(out_ch)
+    ):
+        return get_data_normalization(params)
+    view = dict(params) if isinstance(params, dict) else dict(params.to_dict())
+    view["in_channels"] = out_ch
+    names = out_channel_names(params)
+    if names is not None:
+        view["channel_names"] = names
+    return get_data_normalization(view)
 
 
 def get_time_diff_stds(params):

@@ -22,7 +22,7 @@ from typing import Optional
 import h5py
 import numpy as np
 
-from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
+from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization, get_out_normalization
 from makani_tpu.utils.zenith_angle import cos_zenith_angle_from_timestamp
 
 __all__ = ["MultifilesDataset"]
@@ -92,8 +92,16 @@ class MultifilesDataset:
         self.n_samples = int(self.cum[-1])
 
         self.in_bias, self.in_scale = get_data_normalization(params)
-        self._norm_identity = bool(np.all(np.asarray(self.in_bias) == 0) and np.all(np.asarray(self.in_scale) == 1))
         self._inv_scale = 1.0 / np.asarray(self.in_scale, dtype=np.float32)
+        # Target stats must follow out_channels row order, which may differ
+        # from in_channels (ref data_loader_multifiles.py normalizes inp/tar
+        # with separately-selected stats rows).
+        self.out_bias, self.out_scale = get_out_normalization(params)
+        self._out_inv_scale = 1.0 / np.asarray(self.out_scale, dtype=np.float32)
+        self._norm_identity = bool(
+            np.all(np.asarray(self.in_bias) == 0) and np.all(np.asarray(self.in_scale) == 1)
+            and np.all(np.asarray(self.out_bias) == 0) and np.all(np.asarray(self.out_scale) == 1)
+        )
 
         # per-process sharded IO tile (ref dataloader.py:30-71 io_grid): read
         # only the (h, w) rows/cols this host's devices own. Tile indices are
@@ -256,8 +264,8 @@ class MultifilesDataset:
         if not self._norm_identity:
             np.subtract(inp, self.in_bias, out=inp)
             np.multiply(inp, self._inv_scale, out=inp)
-            np.subtract(tar, self.in_bias, out=tar)
-            np.multiply(tar, self._inv_scale, out=tar)
+            np.subtract(tar, self.out_bias, out=tar)
+            np.multiply(tar, self._out_inv_scale, out=tar)
 
         sample = {"inp": inp, "tar": tar}
         if self.add_zenith:

@@ -79,9 +79,9 @@ class SideDataset:
         self._fields = self._file["fields"]
         self.n_samples = self._fields.shape[0]
         self.out_channels = np.asarray(out_channels)
-        # bias/scale arrive (1, C, 1, 1) over all channels; pre-select
-        self.bias = None if bias is None else np.asarray(bias).reshape(-1, 1, 1)[self.out_channels]
-        self.scale = None if scale is None else np.asarray(scale).reshape(-1, 1, 1)[self.out_channels]
+        # bias/scale arrive already in out_channels row order (get_out_normalization)
+        self.bias = None if bias is None else np.asarray(bias).reshape(-1, 1, 1)
+        self.scale = None if scale is None else np.asarray(scale).reshape(-1, 1, 1)
         self.dhours = dhours
         if "timestamp" in self._file:
             self._rel_ts = np.asarray(self._file["timestamp"], np.int64)
@@ -159,9 +159,9 @@ class Inferencer:
             )
         self.climatology_dataset = None
         if params.get("climatology_file", None):
-            from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization
+            from makani_tpu.utils.dataloaders.data_helpers import get_out_normalization
 
-            bias, scale = get_data_normalization(params)
+            bias, scale = get_out_normalization(params)
             self.climatology_dataset = SideDataset(
                 params.get("climatology_file"), params.get("out_channels"), bias=bias, scale=scale, dhours=params.get("dhours", 6)
             )

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from makani_tpu.utils.dataloaders.data_helpers import get_data_normalization, get_time_diff_stds
+from makani_tpu.utils.dataloaders.data_helpers import get_out_normalization, get_time_diff_stds
 from makani_tpu.utils.losses.base_loss import LossType, compute_channel_weighting
 from makani_tpu.utils.losses.lp_loss import GeometricLpLoss, SpectralH1Loss, SpectralLpLoss
 
@@ -123,7 +123,11 @@ class LossHandler:
             params.get("img_shape_x"),
             params.get("img_shape_y"),
         )
-        channel_names = params.get("channel_names")
+        # the loss sees targets/predictions in out_channels row order, which
+        # may reorder in_channels — use out-ordered names/stats throughout
+        from makani_tpu.utils.dataloaders.data_helpers import out_channel_names
+
+        channel_names = out_channel_names(params) or params.get("channel_names")
 
         # dynamic channel weighting from running loss statistics (ref
         # loss.py:86-92, 296-333, 453-474). The reference keeps Welford
@@ -143,7 +147,7 @@ class LossHandler:
 
         bias, scale = (None, None)
         try:
-            bias, scale = get_data_normalization(params)
+            bias, scale = get_out_normalization(params)
         except Exception:
             pass
 

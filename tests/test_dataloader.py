@@ -156,3 +156,45 @@ def test_grain_loader_shuffle_reproducible_and_reshuffles(tmp_path):
     np.testing.assert_allclose(ea, eb)  # same seed + epoch -> same order
     ea2 = np.stack([b["inp"] for b in iter(la)])  # epoch advanced
     assert not np.allclose(ea, ea2)  # reshuffled between epochs
+
+
+def test_reordered_out_channels_normalization(tmp_path):
+    """Targets read via a reordered/subset out_channels must be normalized
+    with stats in out row order, not in_channels row order (advisor r3)."""
+    import os
+
+    from makani_tpu.utils.dataloaders.data_helpers import get_out_normalization, out_channel_names
+    from makani_tpu.utils.dataloaders.data_loader_multifiles import MultifilesDataset
+
+    paths = init_hdf5_dataset(tmp_path)
+    # distinct per-channel stats so a row mixup is visible
+    C = 5
+    means = np.arange(C, dtype=np.float64).reshape(1, C, 1, 1) * 10.0
+    stds = (np.arange(C, dtype=np.float64).reshape(1, C, 1, 1) + 1.0) * 2.0
+    np.save(os.path.join(str(tmp_path), "stats", "global_means.npy"), means)
+    np.save(os.path.join(str(tmp_path), "stats", "global_stds.npy"), stds)
+
+    out_ch = [3, 1, 4]
+    params = get_default_parameters(tmp_path, out_channels=out_ch, **paths)
+    ds = MultifilesDataset(params, paths["train_data_path"], train=True)
+    s = ds[0]
+    assert s["tar"].shape[1] == 3
+
+    # raw (unnormalized) read for comparison
+    params_raw = get_default_parameters(
+        tmp_path, out_channels=out_ch,
+        **{**paths, "global_means_path": None, "global_stds_path": None},
+    )
+    raw = MultifilesDataset(params_raw, paths["train_data_path"], train=True)[0]
+    expect = (raw["tar"] - means[0, out_ch][None]) / stds[0, out_ch][None]
+    np.testing.assert_allclose(s["tar"], expect, rtol=1e-5, atol=1e-5)
+    # inputs still in in order
+    expect_in = (raw["inp"] - means[0][None]) / stds[0][None]
+    np.testing.assert_allclose(s["inp"], expect_in, rtol=1e-5, atol=1e-5)
+
+    # helper sanity
+    names = out_channel_names(params)
+    assert names == ["z500", "v10m", "q700"]
+    b, sc = get_out_normalization(params)
+    np.testing.assert_allclose(b[0, :, 0, 0], means[0, out_ch, 0, 0])
+    np.testing.assert_allclose(sc[0, :, 0, 0], stds[0, out_ch, 0, 0])

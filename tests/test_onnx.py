@@ -345,3 +345,21 @@ def test_additional_elementwise_ops_vs_torch():
         np.testing.assert_allclose(el, torch.nn.functional.elu(xt).numpy(), atol=1e-5)
         # ONNX HardSigmoid(alpha=0.2) != torch's (alpha=1/6): check the formula
         np.testing.assert_allclose(hs, np.clip(0.2 * x + 0.5, 0.0, 1.0), atol=1e-6)
+
+
+def test_fp16_bf16_typed_field_initializers():
+    # typed-field (int32_data) fp16/bf16 hold raw bit patterns packed
+    # one-per-int32 (ONNX TensorProto spec), not numeric values
+    vals = np.array([1.0, -2.5, 0.15625, 65504.0], dtype=np.float16)
+    bits = vals.view(np.uint16)
+    t = op.TensorProto(name="w", dims=(4,), data_type=10, int32_data=[int(b) for b in bits])
+    np.testing.assert_array_equal(t.to_numpy(), vals)
+
+    bvals = np.array([1.0, -2.5, 0.15625], dtype=np.float32)
+    bbits = (bvals.view(np.uint32) >> 16).astype(np.uint16)
+    tb = op.TensorProto(name="wb", dims=(3,), data_type=16, int32_data=[int(b) for b in bbits])
+    np.testing.assert_array_equal(tb.to_numpy(), bvals)
+
+    # raw_data fp16 path still exact
+    tr = op.TensorProto(name="wr", dims=(4,), data_type=10, raw_data=vals.tobytes())
+    np.testing.assert_array_equal(tr.to_numpy(), vals)
