@@ -15,16 +15,27 @@ Supported:
     an independent dense implementation of the documented torch-harmonics
     >= 0.9 convention — tests/test_convert_parity.py):
 
-      - ``piecewise linear`` checkpoints: **numerically exact** when the
-        target model is configured with ``filter_basis_type: "piecewise
-        linear th"`` (radial hats at q*cutoff/n_r x periodic azimuthal hats;
-        ops/disco.py). Our default "piecewise linear" uses cos/sin azimuthal
-        harmonics instead and is a reparametrization, not weight-compatible.
-      - ``morlet`` / ``fourier-bessel`` / ``zernike`` checkpoints:
-        **structural only** — layouts and K counts transfer, but our basis
-        values are documented TPU-native realizations, not bit-matches of
-        torch-harmonics'; an imported model is a re-parametrized init, not
-        the trained function.
+      - **guaranteed-exact path (any family, any th version)**: export the
+        basis values where torch-harmonics IS installed
+        (``scripts/export_th_filter_basis.py``) and set
+        ``filter_basis_table: <file>.npz`` in the target config — the model
+        then interpolates the reference install's own basis values
+        (ops/disco.py tabulated basis; ~1e-6 interpolation error for the
+        smooth families).
+      - ``piecewise linear`` / ``morlet`` / ``zernike`` / ``fourier-bessel``
+        checkpoints: import with ``filter_basis_type`` set to the matching
+        ``"... th"`` convention ("piecewise linear th", "morlet th",
+        "zernike th", "fourier-bessel th" — ops/disco.py). These re-derive
+        the torch-harmonics layouts AND values (e.g. piecewise linear:
+        n_r nodes across the kernel *diameter* at spacing
+        2*cutoff/(n_r+1), isotropic center for odd n_r); they are validated
+        against an independent dense realization of the documented
+        convention, but not diffed against live torch-harmonics output —
+        for certainty use the tabulated path above.
+      - Our default families (``"piecewise linear"`` etc. without "th") use
+        different parametrizations (cos/sin azimuthal harmonics, uniform
+        K = 1+(n_r-1)*n_phi layout) and are NOT weight-compatible with
+        reference checkpoints.
   * Adam optimizer state (exp_avg/exp_avg_sq) —
     ``convert_adam_state``/``inject_adam_state``: moments transform with the
     same layout maps as their parameters and are injected into the optax

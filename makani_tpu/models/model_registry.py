@@ -208,6 +208,13 @@ def get_model(params, multistep: bool = False):
         kwargs["filter_basis_norm_mode"] = params.get("filter_basis_norm_mode")
     if "filter_basis_type" in fields and params.get("filter_basis_type", None) is not None:
         kwargs["filter_basis_type"] = params.get("filter_basis_type")
+    if "filter_basis_type" in fields and params.get("filter_basis_table", None) is not None:
+        # exact import of a foreign (torch-harmonics) basis convention:
+        # an npz exported by scripts/export_th_filter_basis.py overrides the
+        # named family with interpolated tabulated values
+        from makani_tpu.ops.disco import load_basis_table
+
+        kwargs["filter_basis_type"] = load_basis_table(params.get("filter_basis_table"))
     if "dtype" in fields:
         compute_dtype = params.get("compute_dtype", "float32")
         if compute_dtype == "fp8":

@@ -9,11 +9,18 @@ fixed basis and evaluated at the true angular offsets between grid points,
 
 with psi_k supported on a geodesic disc of radius ``theta_cutoff``.
 
-Basis: radial piecewise-linear hats x azimuthal harmonics
-(1, cos(p a), sin(p a), ...) — K = 1 + (n_r - 1) * n_phi functions for
-``kernel_shape = (n_r, n_phi)`` (the center node is isotropic). This spans
-the same anisotropic local-filter space as torch-harmonics' bases; exact
-basis values differ, which only re-parametrizes the learned weights.
+Basis families:
+  * our own (default) families: radial profiles x azimuthal harmonics,
+    K = 1 + (n_r - 1) * n_phi, center node isotropic — span the same
+    anisotropic local-filter space as torch-harmonics' bases with a
+    different parametrization of the learned weights;
+  * "... th" families ("piecewise linear th", "morlet th", "zernike th",
+    "fourier-bessel th"): documented re-derivations of the torch-harmonics
+    >= 0.9 conventions (layout AND values) for checkpoint import;
+  * "tabulated:<name>": basis values interpolated from a registered dense
+    (r, alpha) table — export one with scripts/export_th_filter_basis.py on
+    any machine with torch-harmonics installed for guaranteed-exact import
+    of that install's convention (register_basis_table/load_basis_table).
 
 TPU structure (instead of the reference's sparse CUDA gather):
 
@@ -46,38 +53,67 @@ import jax.numpy as jnp
 
 from makani_tpu.ops.quadrature import precompute_latitudes
 
-__all__ = ["DiscoConvS2", "compute_cutoff_radius", "num_basis_functions"]
+__all__ = ["DiscoConvS2", "compute_cutoff_radius", "num_basis_functions", "register_basis_table", "load_basis_table"]
 
 
 def compute_cutoff_radius(nlat: int, kernel_shape, basis_type: str = "piecewise linear") -> float:
     """Cutoff heuristic matching the reference (fourcastnet3.py:47-50)."""
+    if basis_type.startswith("tabulated:"):
+        return float(_BASIS_TABLES[basis_type.split(":", 1)[1]]["r_cutoff"])
     factor = {
         "piecewise linear": 0.5,
         "piecewise linear th": 0.5,
         "morlet": 0.5,
+        "morlet th": 0.5,
         "harmonic": 0.5,
         "zernike": math.sqrt(2.0),
+        "zernike th": math.sqrt(2.0),
         "fourier-bessel": 0.5,
-    }[basis_type]
+        "fourier-bessel th": 0.5,
+    }.get(basis_type, 0.5)
     return (kernel_shape[0] + 1) * factor * math.pi / float(nlat - 1)
 
 
 def compute_cutoff_radius_lmax(lmax: int, kernel_shape, basis_type: str = "piecewise linear") -> float:
     """FCN3.1 cutoff heuristic: kernel radius from the spectral truncation
     rather than the grid resolution (ref fourcastnet3_1.py:55-57)."""
+    if basis_type.startswith("tabulated:"):
+        return float(_BASIS_TABLES[basis_type.split(":", 1)[1]]["r_cutoff"])
     margin = {
         "piecewise linear": 1.0,
         "piecewise linear th": 1.0,
         "morlet": 1.0,
+        "morlet th": 1.0,
         "harmonic": 1.0,
         "zernike": 1.0,
+        "zernike th": 1.0,
         "fourier-bessel": 1.5,
-    }[basis_type]
+        "fourier-bessel th": 1.5,
+    }.get(basis_type, 1.0)
     return margin * kernel_shape[0] * math.pi / float(max(lmax, 1))
 
 
-def num_basis_functions(kernel_shape) -> int:
+def num_basis_functions(kernel_shape, basis_type: str = "piecewise linear") -> int:
+    """Basis count K. Layout is family-dependent:
+
+      * our own families share K = 1 + (n_r - 1) * n_phi (center node +
+        (n_r - 1) radial levels x n_phi azimuthal functions),
+      * the "... th" torch-harmonics import conventions use that library's
+        layouts (see the per-family docs in _basis_values below),
+      * "tabulated:<name>" takes K from the registered table.
+    """
     n_r, n_phi = kernel_shape
+    if basis_type == "piecewise linear th":
+        # th counts n_r collocation nodes across the *diameter*:
+        # odd n_r -> isotropic center + (n_r // 2) rings x n_phi hats
+        return (n_r // 2) * n_phi + n_r % 2
+    if basis_type in ("morlet th", "fourier-bessel th"):
+        return n_r * n_phi
+    if basis_type == "zernike th":
+        # all Zernike Z_n^m with radial order n < n_r (OSA enumeration)
+        return n_r * (n_r + 1) // 2
+    if basis_type.startswith("tabulated:"):
+        return int(_BASIS_TABLES[basis_type.split(":", 1)[1]]["vals"].shape[0])
     return 1 + (n_r - 1) * n_phi
 
 
@@ -94,9 +130,6 @@ def _radial_profiles(rr, kernel_shape, theta_cutoff, basis_type):
 
       * "piecewise linear"      — triangular hats at radii q * dr, dr = cutoff/n_r
         (same radial nodes/dr as torch-harmonics' convention)
-      * "piecewise linear th"   — identical radial hats; azimuthal *hats*
-        instead of cos/sin harmonics (the torch-harmonics anisotropic
-        piecewise-linear convention; used for checkpoint import parity)
       * "harmonic"              — disc radial harmonics cos(pi q r / cutoff)
       * "morlet"                — Gaussian-windowed radial oscillations
         exp(-(2r/cutoff)^2 / 2) * cos(pi q r / cutoff)
@@ -107,7 +140,7 @@ def _radial_profiles(rr, kernel_shape, theta_cutoff, basis_type):
     n_r, _ = kernel_shape
     x = np.clip(rr / theta_cutoff, 0.0, 1.0)  # normalized radius in [0, 1]
 
-    if basis_type in ("piecewise linear", "piecewise linear th"):
+    if basis_type == "piecewise linear":
         dr = theta_cutoff / n_r
         return [np.clip(1.0 - np.abs(rr - q * dr) / dr, 0.0, None) for q in range(n_r)]
     if basis_type == "harmonic":
@@ -137,11 +170,6 @@ def _zernike_r2q0(x, q):
 
 def _azimuth_values(alpha, p, n_phi, basis_type):
     """Azimuthal function p of n_phi at bearing alpha."""
-    if basis_type == "piecewise linear th":
-        # periodic triangular hats at p * dphi (torch-harmonics convention)
-        dphi = 2.0 * math.pi / n_phi
-        d = np.abs(np.mod(alpha - p * dphi + math.pi, 2.0 * math.pi) - math.pi)
-        return np.clip(1.0 - d / dphi, 0.0, None)
     # cos/sin harmonic pairs (all other families)
     if p == 0:
         return np.ones_like(alpha)
@@ -150,8 +178,206 @@ def _azimuth_values(alpha, p, n_phi, basis_type):
     return np.sin((p // 2) * alpha)
 
 
+# ---------------------------------------------------------------------------
+# torch-harmonics import conventions ("... th") and tabulated bases
+#
+# torch-harmonics (>= 0.9, the version the reference pins) is not installable
+# in this environment; the "th" families below are documented re-derivations
+# of its filter-basis conventions, validated against an independent dense
+# implementation (tests/test_convert_parity.py). For guaranteed-exact import
+# of any torch-harmonics version, export the basis values where the library
+# IS installed (scripts/export_th_filter_basis.py) and load them here as a
+# tabulated basis — interpolation error is ~1e-6 for these smooth families.
+# ---------------------------------------------------------------------------
+
+_BASIS_TABLES: dict = {}
+
+
+def register_basis_table(name: str, table: dict) -> str:
+    """Register a dense (r, alpha) basis-value table; returns the basis_type
+    string ("tabulated:<name>") to pass to DiscoConvS2.
+
+    table keys: "vals" (K, Nr, Na) float64, "r" (Nr,) geodesic radii
+    ascending from 0, "alpha" (Na,) bearings covering [0, 2pi), and
+    "r_cutoff" (scalar).
+    """
+    t = {k: np.asarray(v) if k != "r_cutoff" else float(np.asarray(v)) for k, v in table.items()}
+    if t["vals"].ndim != 3 or t["r"].ndim != 1 or t["alpha"].ndim != 1:
+        raise ValueError("basis table needs vals (K, Nr, Na), r (Nr,), alpha (Na,)")
+    _BASIS_TABLES[name] = t
+    _precompute_psi.cache_clear()  # tables are identified by name in the cache key
+    return f"tabulated:{name}"
+
+
+def load_basis_table(path: str, name: str = None) -> str:
+    """Load an npz written by scripts/export_th_filter_basis.py and register it."""
+    import os
+
+    with np.load(path) as z:
+        table = {k: z[k] for k in ("vals", "r", "alpha", "r_cutoff")}
+    return register_basis_table(name or os.path.splitext(os.path.basename(path))[0], table)
+
+
+def _tabulated_values(r, alpha, name):
+    """Bilinear interpolation of a registered basis table in (r, alpha);
+    alpha is periodic."""
+    t = _BASIS_TABLES[name]
+    vals, rg, ag = t["vals"], t["r"], t["alpha"]
+    K, Nr, Na = vals.shape
+
+    ri = np.interp(r, rg, np.arange(Nr))  # fractional row index, clamped
+    a = np.mod(alpha, 2.0 * np.pi)
+    # assume uniform alpha grid starting at ag[0]
+    da = (2.0 * np.pi) / Na
+    ai = (a - ag[0]) / da
+    r0 = np.clip(np.floor(ri).astype(np.int64), 0, Nr - 2)
+    a0 = np.floor(ai).astype(np.int64)
+    fr = np.clip(ri - r0, 0.0, 1.0)
+    fa = ai - a0
+    a0 = np.mod(a0, Na)
+    a1 = np.mod(a0 + 1, Na)
+    v00 = vals[:, r0, a0]
+    v01 = vals[:, r0, a1]
+    v10 = vals[:, r0 + 1, a0]
+    v11 = vals[:, r0 + 1, a1]
+    return v00 * (1 - fr) * (1 - fa) + v01 * (1 - fr) * fa + v10 * fr * (1 - fa) + v11 * fr * fa
+
+
+def _pl_th_values(r, alpha, kernel_shape, theta_cutoff):
+    """torch-harmonics anisotropic piecewise-linear convention.
+
+    kernel_shape[0] = n_r counts collocation nodes across the kernel
+    *diameter* at spacing dr = 2 * cutoff / (n_r + 1) (this is why the
+    reference's cutoff heuristic is (n_r + 1) * 0.5 * pi / (nlat - 1): the
+    node spacing then equals one latitude grid spacing). Triangular hats
+    radially x periodic triangular hats azimuthally at p * 2pi/n_phi.
+    Odd n_r: basis 0 is the isotropic center hat, then rings q = 1..n_r//2
+    at q * dr. Even n_r: rings only, at (q + 1/2) * dr, q = 0..n_r//2 - 1.
+    """
+    n_r, n_phi = kernel_shape
+    dr = 2.0 * theta_cutoff / (n_r + 1)
+    dphi = 2.0 * math.pi / n_phi
+    rr = np.clip(r, 0.0, None)
+
+    def tri_r(node):
+        return np.clip(1.0 - np.abs(rr - node) / dr, 0.0, None)
+
+    def tri_phi(p):
+        d = np.abs(np.mod(alpha - p * dphi + math.pi, 2.0 * math.pi) - math.pi)
+        return np.clip(1.0 - d / dphi, 0.0, None)
+
+    out = []
+    if n_r % 2 == 1:
+        out.append(tri_r(0.0))  # isotropic center
+        for q in range(1, n_r // 2 + 1):
+            for p in range(n_phi):
+                out.append(tri_r(q * dr) * tri_phi(p))
+    else:
+        for q in range(n_r // 2):
+            for p in range(n_phi):
+                out.append(tri_r((q + 0.5) * dr) * tri_phi(p))
+    return np.stack(out)
+
+
+def _harmonic_1d(idx, t):
+    """1-D harmonic family: h_0 = 1, h_{2m-1} = sin(pi m t), h_{2m} = cos(pi m t)."""
+    if idx == 0:
+        return np.ones_like(t)
+    m = (idx + 1) // 2
+    return np.sin(math.pi * m * t) if idx % 2 == 1 else np.cos(math.pi * m * t)
+
+
+def _morlet_th_values(r, alpha, kernel_shape, theta_cutoff):
+    """torch-harmonics Morlet convention (documented re-derivation).
+
+    Separable Gabor/Morlet tensor products on the tangent plane: with
+    normalized Cartesian offsets x = (r/c) cos(alpha), y = (r/c) sin(alpha),
+    basis (i, j) = exp(-(x^2+y^2) / (2 sigma^2)) * h_i(x) * h_j(y), sigma =
+    1/2, h the 1-D harmonic family above. K = n_r * n_phi, x-index fastest.
+    """
+    n_x, n_y = kernel_shape
+    x = (r / theta_cutoff) * np.cos(alpha)
+    y = (r / theta_cutoff) * np.sin(alpha)
+    sigma = 0.5
+    env = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    out = []
+    for j in range(n_y):
+        hy = _harmonic_1d(j, y)
+        for i in range(n_x):
+            out.append(env * _harmonic_1d(i, x) * hy)
+    return np.stack(out)
+
+
+def _zernike_nm(x, n, m):
+    """Zernike radial polynomial R_n^m(x), m >= 0, n - m even."""
+    out = np.zeros_like(x)
+    for s in range((n - m) // 2 + 1):
+        c = (-1) ** s * math.factorial(n - s) / (
+            math.factorial(s) * math.factorial((n + m) // 2 - s) * math.factorial((n - m) // 2 - s)
+        )
+        out = out + c * x ** (n - 2 * s)
+    return out
+
+
+def _zernike_th_values(r, alpha, kernel_shape, theta_cutoff):
+    """torch-harmonics Zernike convention (documented re-derivation).
+
+    All Zernike polynomials Z_n^m on the cutoff disc with radial order
+    n < n_r, OSA-style enumeration ((n, m) ascending, m = -n..n step 2;
+    m < 0 -> sin(|m| alpha), m >= 0 -> cos(m alpha)). K = n_r (n_r + 1) / 2.
+    """
+    n_r, _ = kernel_shape
+    rho = np.clip(r / theta_cutoff, 0.0, 1.0)
+    out = []
+    for n in range(n_r):
+        for m in range(-n, n + 1, 2):
+            rad = _zernike_nm(rho, n, abs(m))
+            ang = np.sin(abs(m) * alpha) if m < 0 else np.cos(m * alpha)
+            out.append(rad * ang)
+    return np.stack(out)
+
+
+def _fourier_bessel_th_values(r, alpha, kernel_shape, theta_cutoff):
+    """torch-harmonics Fourier-Bessel convention (documented re-derivation).
+
+    Dirichlet disc harmonics: basis (q, p) = J_m(j_{m, q+1} r / c) * a_p,
+    with a_p the azimuthal harmonic family (1, cos, sin, cos 2, ...) of
+    order m = (p + 1) // 2 and j_{m, k} the k-th positive zero of J_m.
+    K = n_r * n_phi, azimuthal index fastest.
+    """
+    from scipy.special import jn_zeros, jv
+
+    n_r, n_phi = kernel_shape
+    rho = np.clip(r / theta_cutoff, 0.0, 1.0)
+    out = []
+    for q in range(n_r):
+        for p in range(n_phi):
+            m = (p + 1) // 2
+            zero = jn_zeros(m, q + 1)[q]
+            rad = jv(m, zero * rho)
+            if p == 0:
+                ang = np.ones_like(alpha)
+            elif p % 2 == 1:
+                ang = np.cos(m * alpha)
+            else:
+                ang = np.sin(m * alpha)
+            out.append(rad * ang)
+    return np.stack(out)
+
+
 def _basis_values(r, alpha, kernel_shape, theta_cutoff, basis_type="piecewise linear"):
     """All K basis functions at geodesic radius r, bearing alpha: (K, *shape)."""
+    if basis_type == "piecewise linear th":
+        return _pl_th_values(r, alpha, kernel_shape, theta_cutoff)
+    if basis_type == "morlet th":
+        return _morlet_th_values(r, alpha, kernel_shape, theta_cutoff)
+    if basis_type == "zernike th":
+        return _zernike_th_values(r, alpha, kernel_shape, theta_cutoff)
+    if basis_type == "fourier-bessel th":
+        return _fourier_bessel_th_values(r, alpha, kernel_shape, theta_cutoff)
+    if basis_type.startswith("tabulated:"):
+        return _tabulated_values(r, alpha, basis_type.split(":", 1)[1])
+
     n_r, n_phi = kernel_shape
     rr = np.clip(r, 0.0, None)
     radials = _radial_profiles(rr, kernel_shape, theta_cutoff, basis_type)
@@ -184,7 +410,7 @@ def _precompute_psi(in_shape, out_shape, kernel_shape, grid_in, grid_out, theta_
     dphi_out = 2.0 * np.pi / nlon_out
     quad = wq * dphi_in  # input cell measure, sums to 4 pi over the sphere
 
-    K = num_basis_functions(kernel_shape)
+    K = num_basis_functions(kernel_shape, basis_type)
 
     # latitude bands
     starts = []
@@ -306,9 +532,12 @@ class DiscoConvS2:
         self.kernel_shape = tuple(kernel_shape)
         self.basis_type = basis_type
         if theta_cutoff is None:
-            theta_cutoff = compute_cutoff_radius(in_shape[0], kernel_shape, basis_type)
+            if basis_type.startswith("tabulated:"):
+                theta_cutoff = _BASIS_TABLES[basis_type.split(":", 1)[1]]["r_cutoff"]
+            else:
+                theta_cutoff = compute_cutoff_radius(in_shape[0], kernel_shape, basis_type)
         self.theta_cutoff = float(theta_cutoff)
-        self.K = num_basis_functions(kernel_shape)
+        self.K = num_basis_functions(kernel_shape, basis_type)
 
         tbl = _precompute_psi(
             self.in_shape, self.out_shape, self.kernel_shape, grid_in, grid_out, self.theta_cutoff, basis_norm_mode, basis_type

@@ -11,12 +11,14 @@ indexing (no reuse of ops/disco.py's banding/phase/FFT machinery).
 
 Exactness status per basis family (also documented in convert_checkpoint.py):
 torch-harmonics itself is not installable in this environment, so the
-"reference convention" is the documented torch-harmonics >= 0.9
-anisotropic piecewise-linear basis (radial hats at q * cutoff/n_r x periodic
-azimuthal hats at p * 2pi/n_phi) — our ``basis_type="piecewise linear th"``.
-Imports of models trained with that basis are exact under this convention;
-morlet/fourier-bessel/zernike imports are structural (layout-exact,
-basis-values approximate).
+"reference convention" is the documented torch-harmonics >= 0.9 layout and
+values, re-derived in ops/disco.py as the "... th" families (piecewise
+linear / morlet / zernike / fourier-bessel). These tests prove the fast
+banded/phase/FFT path reproduces a dense realization of each convention;
+for import certainty against an arbitrary live torch-harmonics install,
+the tabulated-basis path (scripts/export_th_filter_basis.py +
+filter_basis_table) interpolates that install's own exported values — its
+interpolation pipeline is validated below against a native family.
 """
 
 import numpy as np
@@ -49,7 +51,7 @@ def dense_reference_disco(x, w_ref, groups, in_shape, out_shape, kernel_shape, t
     phi_in = np.arange(nlon_in) * dphi_in
     phi_out = np.arange(nlon_out) * 2 * np.pi / nlon_out
 
-    K = num_basis_functions(kernel_shape)
+    K = num_basis_functions(kernel_shape, basis_type)
     B, Cin = x.shape[:2]
     Cout = w_ref.shape[0]
     og, ig = Cout // groups, Cin // groups
@@ -73,13 +75,21 @@ def dense_reference_disco(x, w_ref, groups, in_shape, out_shape, kernel_shape, t
     return y
 
 
+@pytest.mark.parametrize(
+    "basis,kernel_shape",
+    [
+        ("piecewise linear th", (2, 3)),
+        ("piecewise linear th", (3, 3)),
+        ("morlet th", (3, 3)),
+        ("zernike th", (3, 3)),
+        ("fourier-bessel th", (2, 3)),
+    ],
+)
 @pytest.mark.parametrize("groups,in_shape,out_shape", [(1, (16, 32), (16, 32)), (2, (17, 36), (12, 24))])
-def test_torch_layout_disco_import_forward_parity(tmp_path, groups, in_shape, out_shape):
+def test_torch_layout_disco_import_forward_parity(tmp_path, groups, in_shape, out_shape, basis, kernel_shape):
     """Reference-layout weights -> converter -> our DiscoConv == dense ref."""
-    kernel_shape = (2, 3)
-    basis = "piecewise linear th"
     theta_cutoff = compute_cutoff_radius(in_shape[0], kernel_shape, basis)
-    K = num_basis_functions(kernel_shape)
+    K = num_basis_functions(kernel_shape, basis)
     Cin, Cout = 4, 6
     rng = np.random.RandomState(0)
 
@@ -125,12 +135,71 @@ def test_th_basis_is_partition_of_unity_in_azimuth():
     r = np.full((1, 8), 0.2)
     alpha = np.linspace(-np.pi, np.pi, 8)[None]
     kernel_shape = (3, 4)
-    v = _basis_values(r, alpha, kernel_shape, 0.45, "piecewise linear th")
-    # rows 1..4 are radial level q=1; their azimuthal hats sum to 1
+    cutoff = 0.45
+    v = _basis_values(r, alpha, kernel_shape, cutoff, "piecewise linear th")
+    # rows 1..4 are the q=1 ring; their azimuthal hats sum to 1, so the sum
+    # equals the radial hat at the ring node dr = 2*cutoff/(n_r+1)
     level1 = v[1:5].sum(axis=0)
-    radial = _basis_values(r, alpha, kernel_shape, 0.45, "piecewise linear th")[1:5]
-    # each point's sum equals the radial profile value there
-    from makani_tpu.ops.disco import _radial_profiles
-
-    prof = _radial_profiles(r, kernel_shape, 0.45, "piecewise linear th")[1]
+    dr = 2.0 * cutoff / (kernel_shape[0] + 1)
+    prof = np.clip(1.0 - np.abs(r - dr) / dr, 0.0, None)
     np.testing.assert_allclose(level1, prof, atol=1e-12)
+
+
+def test_tabulated_basis_matches_native_family(tmp_path):
+    """Export -> npz -> load_basis_table -> DiscoConvS2 reproduces the native
+    family it was sampled from (validates the exact-import interpolation
+    pipeline end-to-end without torch-harmonics)."""
+    from makani_tpu.ops.disco import load_basis_table
+
+    in_shape, out_shape = (16, 32), (16, 32)
+    kernel_shape = (3, 3)
+    basis = "morlet th"
+    c = compute_cutoff_radius(in_shape[0], kernel_shape, basis)
+
+    # dense sample of the native family, same layout as the export script
+    Nr, Na = 1024, 256
+    r = np.linspace(0.0, c, Nr)
+    alpha = np.arange(Na) * (2 * np.pi / Na)
+    rg, ag = np.meshgrid(r, alpha, indexing="ij")
+    vals = _basis_values(rg, ag, kernel_shape, c, basis)
+    path = tmp_path / "basis.npz"
+    np.savez(path, vals=vals, r=r, alpha=alpha, r_cutoff=np.float64(c))
+    tab = load_basis_table(str(path), name="t_morlet")
+
+    native = DiscoConvS2(in_shape, out_shape, kernel_shape, basis_type=basis, basis_norm_mode="none", theta_cutoff=c)
+    tabbed = DiscoConvS2(in_shape, out_shape, kernel_shape, basis_type=tab, basis_norm_mode="none", theta_cutoff=None)
+    assert tabbed.K == native.K
+    assert abs(tabbed.theta_cutoff - c) < 1e-12
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 2, *in_shape).astype(np.float32))
+    tn = np.asarray(native(x))
+    tt = np.asarray(tabbed(x))
+    scale = np.abs(tn).max()
+    np.testing.assert_allclose(tt, tn, atol=2e-4 * scale)
+
+
+def test_th_basis_layouts():
+    """K layouts follow the torch-harmonics conventions."""
+    assert num_basis_functions((3, 3), "piecewise linear th") == 4  # center + 1 ring x 3
+    assert num_basis_functions((2, 3), "piecewise linear th") == 3  # no center, 1 ring
+    assert num_basis_functions((5, 4), "piecewise linear th") == 9  # center + 2 rings x 4
+    assert num_basis_functions((3, 3), "morlet th") == 9
+    assert num_basis_functions((3, 3), "zernike th") == 6  # n<3: 1+2+3
+    assert num_basis_functions((2, 4), "fourier-bessel th") == 8
+    # our own families keep the uniform layout
+    assert num_basis_functions((3, 3)) == 7
+
+
+def test_pl_th_node_spacing_fills_cutoff():
+    """th piecewise-linear radial nodes: spacing 2c/(n_r+1); outermost hat
+    support ends exactly at the cutoff (odd n_r)."""
+    c = 0.1
+    ks = (3, 3)
+    # basis 0 (center) peaks at r=0; ring hats peak at 2c/4 = c/2
+    r = np.array([0.0, c / 2, c * 0.999])
+    alpha = np.zeros(3)
+    v = _basis_values(r, alpha, ks, c, "piecewise linear th")
+    assert v[0, 0] == pytest.approx(1.0)  # center hat at r=0
+    assert v[1, 1] == pytest.approx(1.0)  # ring hat peak at c/2, alpha=0
+    assert v[1, 2] == pytest.approx(0.0, abs=5e-3)  # support ends at c
