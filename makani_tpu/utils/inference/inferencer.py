@@ -225,6 +225,9 @@ class Inferencer:
             indices = [i for i in indices if t0 <= self.valid_dataset.base_timestamp(i) <= t1]
             if not indices:
                 raise ValueError(f"no samples between {start} and {end}")
+        n_ics = self.params.get("n_ics", None)
+        if n_ics:
+            indices = indices[: int(n_ics)]
         return indices
 
     def score_model(self, output_dir: Optional[str] = None):
@@ -259,31 +262,49 @@ class Inferencer:
         self.zonal_buffer = ZonalSpectrumAverageBuffer((H, W), S, n_out)
 
         E = self.ensemble_size
-        indices = self._select_indices()
+        indices = list(self._select_indices())
         bs = params.get("batch_size", 1)
+        n_ic = len(indices)
+
+        # pad the IC list to whole batches (the reference pads/trims rank
+        # ranges, ref inferencer.py:239-247); pad rows repeat the last IC and
+        # are masked out of metrics and streaming buffers — every jitted step
+        # then runs at one static shape (no last-batch recompile, and all
+        # processes execute identical SPMD programs)
+        n_pad = (-n_ic) % bs
+        if n_pad:
+            indices = indices + [indices[-1]] * n_pad
 
         # multi-process: every process walks the SAME global batches (identical
-        # jitted steps / collectives), loading only its own rows. Ragged
-        # shapes would desynchronize the SPMD programs (hang), so require a
-        # clean division instead of silently wrong padding.
+        # jitted steps / collectives), loading only its own rows. Ensemble
+        # members fold into the sample dim (b-major, as EnsembleTrainer does),
+        # so the ensemble mesh axis may span processes (the reference's
+        # 256-GPU ensemble+model+data-parallel scoring, ref README.md:62-68).
         nproc = jax.process_count()
-        row_slice = None
+        row_slice = None  # E == 1: local slice of the bs global rows
+        folded_rows = None  # E > 1: global folded (bs*E) rows owned locally
+        tar_slice = None  # E > 1: local slice of tar's bs rows under P("batch")
         if nproc > 1:
-            if E > 1:
-                raise NotImplementedError(
-                    "multi-process ensemble scoring is not implemented yet: fold members into "
-                    "the batch rows per process (as EnsembleTrainer does) before enabling this"
-                )
-            n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
-            if bs % n_shards != 0 or len(indices) % bs != 0:
-                raise NotImplementedError(
-                    f"multi-process score_model needs batch_size ({bs}) divisible by the data shards "
-                    f"({n_shards}) and the IC count ({len(indices)}) divisible by batch_size — "
-                    "trim the date range or adjust batch_size"
-                )
             from makani_tpu.parallel import multihost
 
-            row_slice = multihost.local_batch_slice(self.mesh, bs)
+            n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+            if E > 1:
+                if (bs * E) % n_shards != 0 or bs % self.mesh.shape["batch"] != 0:
+                    raise ValueError(
+                        f"multi-process ensemble score_model needs the folded batch ({bs}*{E}) divisible "
+                        f"by the data shards ({n_shards}) and batch_size ({bs}) divisible by the batch "
+                        f"mesh axis ({self.mesh.shape['batch']})"
+                    )
+                fs = multihost.local_batch_slice(self.mesh, bs * E)
+                folded_rows = np.arange(fs.start, fs.stop)
+                tar_slice = multihost.local_batch_slice(self.mesh, bs, axes=("batch",))
+            else:
+                if bs % n_shards != 0:
+                    raise ValueError(
+                        f"multi-process score_model needs batch_size ({bs}) divisible by the data "
+                        f"shards ({n_shards})"
+                    )
+                row_slice = multihost.local_batch_slice(self.mesh, bs)
 
         index_batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
         from makani_tpu.utils.dataloader import _assemble
@@ -291,59 +312,96 @@ class Inferencer:
         has_ts = hasattr(self.valid_dataset, "target_timestamps")
         ic_index = 0
         for batch_idx in index_batches:
-            local_idx = batch_idx if row_slice is None else batch_idx[row_slice]
-            batch = _assemble([self.valid_dataset[int(i)] for i in local_idx])
+            from makani_tpu.utils.functions import expand_ensemble, fold_ensemble
+
+            is_last = ic_index == len(index_batches) - 1
+            n_valid = bs - n_pad if (is_last and n_pad) else bs
             # per-lead-time target timestamps for mask/climatology lookup
             tar_ts = [self.valid_dataset.target_timestamps(int(i)) for i in batch_idx] if has_ts else None
-            inp = jnp.asarray(batch["inp"])
-            tar = jnp.asarray(batch["tar"])
-            zen = jnp.asarray(batch["zen"]) if "zen" in batch else None
-            if E > 1:
-                from makani_tpu.utils.functions import expand_ensemble, fold_ensemble
 
-                inp = expand_ensemble(inp, E)
-                zen = expand_ensemble(zen, E) if zen is not None else None
-                if self.noise is not None:
-                    self._noise_key, sub = jax.random.split(self._noise_key)
-                    total_steps = n_hist + S
-                    draw = inp.shape[0] // 2 if self.centered else inp.shape[0]
-                    keys = jax.random.split(sub, total_steps + 1)
-                    state = self.noise.init_state(keys[0], draw)
-                    fields = [self.noise.sample(state)[:, 0]]
-                    for t in range(1, total_steps):
-                        state = self.noise.update(state, keys[t], replace_state=False)
-                        fields.append(self.noise.sample(state)[:, 0])
-                    seq = jnp.stack(fields, axis=1)
-                    if self.centered:
-                        seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
-                    zen = jnp.concatenate([zen, seq], axis=2) if zen is not None else seq
-            if row_slice is not None:
-                # assemble globals from this process's rows (tar/zen too: the
-                # jitted step and the metrics consume global arrays)
+            # global folded noise sequence for the whole (bs*E) batch —
+            # identical on every process (same key), sliced to local rows
+            # below, so multi-process results match single-process exactly
+            seq = None
+            if E > 1 and self.noise is not None:
+                self._noise_key, sub = jax.random.split(self._noise_key)
+                total_steps = n_hist + S
+                draw = (bs * E) // 2 if self.centered else bs * E
+                keys = jax.random.split(sub, total_steps + 1)
+                state = self.noise.init_state(keys[0], draw)
+                fields = [self.noise.sample(state)[:, 0]]
+                for t in range(1, total_steps):
+                    state = self.noise.update(state, keys[t], replace_state=False)
+                    fields.append(self.noise.sample(state)[:, 0])
+                seq = jnp.stack(fields, axis=1)
+                if self.centered:
+                    seq = jnp.stack([seq, -seq], axis=1).reshape(draw * 2, *seq.shape[1:])
+
+            if folded_rows is not None:
+                # E > 1 multi-process: members fold b-major into the sample
+                # dim (fold_ensemble layout); this process reads only the
+                # unfolded rows backing its folded copies plus its tar rows
+                # (tar is sharded over "batch" alone — each batch row exists
+                # once, while its members may span processes)
                 from makani_tpu.parallel import multihost
 
-                inp = multihost.make_global_array(np.asarray(inp), self.mesh, self.data_sharding.spec, (bs, *inp.shape[1:]))
-                tar = multihost.make_global_array(np.asarray(tar), self.mesh, self.data_sharding.spec, (bs, *tar.shape[1:]))
-                if zen is not None:
+                brows = folded_rows // E
+                need_in = sorted(set(int(b) for b in brows))
+                need_tar = list(range(tar_slice.start, tar_slice.stop))
+                samples = {b: self.valid_dataset[int(batch_idx[b])] for b in sorted(set(need_in) | set(need_tar))}
+                bin_ = _assemble([samples[b] for b in need_in])
+                pos = {b: i for i, b in enumerate(need_in)}
+                sel = np.array([pos[int(b)] for b in brows])
+                inp_l = np.asarray(bin_["inp"])[sel]
+                zen_l = np.asarray(bin_["zen"])[sel] if "zen" in bin_ else None
+                if seq is not None:
+                    seq_l = np.asarray(seq)[folded_rows]
+                    zen_l = np.concatenate([zen_l, seq_l], axis=2) if zen_l is not None else seq_l
+                tar_l = np.asarray(_assemble([samples[b] for b in need_tar])["tar"])
+
+                inp = multihost.make_global_array(inp_l, self.mesh, self.data_sharding.spec, (bs * E, *inp_l.shape[1:]))
+                tar = multihost.make_global_array(tar_l, self.mesh, P("batch", None, "h", "w"), (bs, *tar_l.shape[1:]))
+                zen = None
+                if zen_l is not None:
                     zspec = P(("batch", "ensemble"), None, None, "h", "w")
-                    zen = multihost.make_global_array(np.asarray(zen), self.mesh, zspec, (bs, *zen.shape[1:]))
+                    zen = multihost.make_global_array(zen_l, self.mesh, zspec, (bs * E, *zen_l.shape[1:]))
             else:
-                # ragged last batch (or fewer ICs than data shards): place
-                # replicated rather than requiring divisibility
-                n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
-                sharding = self.data_sharding if inp.shape[0] % n_shards == 0 else NamedSharding(self.mesh, P(None, None, "h", "w"))
-                inp = jax.device_put(inp, sharding)
+                local_idx = batch_idx if row_slice is None else batch_idx[row_slice]
+                batch = _assemble([self.valid_dataset[int(i)] for i in local_idx])
+                inp = jnp.asarray(batch["inp"])
+                tar = jnp.asarray(batch["tar"])
+                zen = jnp.asarray(batch["zen"]) if "zen" in batch else None
+                if E > 1:
+                    inp = expand_ensemble(inp, E)
+                    zen = expand_ensemble(zen, E) if zen is not None else None
+                    if seq is not None:
+                        zen = jnp.concatenate([zen, seq], axis=2) if zen is not None else seq
+                if row_slice is not None:
+                    # assemble globals from this process's rows (tar/zen too:
+                    # the jitted step and the metrics consume global arrays)
+                    from makani_tpu.parallel import multihost
+
+                    inp = multihost.make_global_array(np.asarray(inp), self.mesh, self.data_sharding.spec, (bs, *inp.shape[1:]))
+                    tar = multihost.make_global_array(np.asarray(tar), self.mesh, self.data_sharding.spec, (bs, *tar.shape[1:]))
+                    if zen is not None:
+                        zspec = P(("batch", "ensemble"), None, None, "h", "w")
+                        zen = multihost.make_global_array(np.asarray(zen), self.mesh, zspec, (bs, *zen.shape[1:]))
+                else:
+                    n_shards = self.mesh.shape["batch"] * self.mesh.shape["ensemble"]
+                    sharding = self.data_sharding if inp.shape[0] % n_shards == 0 else NamedSharding(self.mesh, P(None, None, "h", "w"))
+                    inp = jax.device_put(inp, sharding)
+
+            # mask for batch-padding rows (metrics ignore them; buffers are
+            # sliced on the host below)
+            row_weights = None
+            if n_valid < bs:
+                row_weights = jnp.asarray((np.arange(bs) < n_valid).astype(np.float32))
 
             inpt = inp
             for step in range(S):
                 zwin = None if zen is None else zen[:, step : step + T]
                 pred = self._eval_step(self.model_params, inpt, zwin)
-                if E > 1:
-                    from makani_tpu.utils.functions import fold_ensemble
-
-                    pred_scored = fold_ensemble(pred, E)
-                else:
-                    pred_scored = pred
+                pred_scored = fold_ensemble(pred, E) if E > 1 else pred
                 tstep = tar[:, step * n_out : (step + 1) * n_out]
 
                 # per-date side fields at this lead time
@@ -365,10 +423,10 @@ class Inferencer:
                     tstepc = tstep - clims
                 else:
                     predc, tstepc = pred_scored, tstep
-                self.metrics.update(predc, tstepc, step, mask=mask)
+                self.metrics.update(predc, tstepc, step, mask=mask, row_weights=row_weights)
 
                 pred_mean = jnp.mean(pred_scored, axis=1) if E > 1 else pred
-                if row_slice is not None:
+                if row_slice is not None or folded_rows is not None:
                     # the streaming buffers consume host arrays: gather the
                     # global rows to every process (the reference likewise
                     # gathers from spatial ranks before writing,
@@ -379,12 +437,14 @@ class Inferencer:
                     tstep_h = jnp.asarray(multihost.fetch_replicated(tstep))
                 else:
                     tstep_h = tstep
-                self.temporal_buffer.update(pred_mean, step)
-                self.bias_buffer.update(pred_mean - tstep_h, step)
-                self.spectrum_buffer.update(pred_mean, step, tar=tstep_h)
-                self.zonal_buffer.update(pred_mean, step, tar=tstep_h)
+                # drop batch-padding rows before the streaming accumulators
+                pm_v, ts_v = pred_mean[:n_valid], tstep_h[:n_valid]
+                self.temporal_buffer.update(pm_v, step)
+                self.bias_buffer.update(pm_v - ts_v, step)
+                self.spectrum_buffer.update(pm_v, step, tar=ts_v)
+                self.zonal_buffer.update(pm_v, step, tar=ts_v)
                 if hasattr(self, "rollout_buffer"):
-                    self.rollout_buffer.update(pred_mean, step, ic_index)
+                    self.rollout_buffer.update(pm_v, step, ic_index)
                 if step < S - 1:
                     inpt = self.preprocessor.append_history(inpt, pred, step)
             ic_index += 1

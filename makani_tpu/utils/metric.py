@@ -90,19 +90,27 @@ class MetricsHandler:
                 out[m] = ensemble_rank_histogram(prd, tar, quad)
         return out
 
-    def _batch_sums(self, prd, tar, mask=None):
-        """Jitted: per-batch metrics summed over the batch dim -> ((C,)-dict, n)."""
-        vals = self.compute_batch(prd, tar, mask=mask)
-        return {m: jnp.sum(v, axis=0) for m, v in vals.items()}, prd.shape[0]
+    def _batch_sums(self, prd, tar, mask=None, row_weights=None):
+        """Jitted: per-batch metrics summed over the batch dim -> ((C,)-dict, n).
 
-    def update(self, prd, tar, step: int, mask=None):
+        ``row_weights`` (B,) down-weights rows (0.0 excludes batch-padding
+        rows added to keep SPMD shapes static; the count n shrinks to match).
+        """
+        vals = self.compute_batch(prd, tar, mask=mask)
+        if row_weights is None:
+            return {m: jnp.sum(v, axis=0) for m, v in vals.items()}, prd.shape[0]
+        w = row_weights.astype(jnp.float32)
+        sums = {m: jnp.sum(v * w.reshape((-1,) + (1,) * (v.ndim - 1)), axis=0) for m, v in vals.items()}
+        return sums, jnp.sum(w)
+
+    def update(self, prd, tar, step: int, mask=None, row_weights=None):
         """Accumulate one validation batch at rollout step ``step``.
 
         The reduction over the batch runs on device inside jit, so only
         replicated per-channel sums reach the host — safe when ``prd``/``tar``
         are global arrays sharded across processes.
         """
-        sums, n = self._jit_batch_sums(prd, tar, mask)
+        sums, n = self._jit_batch_sums(prd, tar, mask, row_weights)
         for m, v in sums.items():
             v = np.asarray(jax.device_get(v))
             if m not in self._sums:

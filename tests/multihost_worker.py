@@ -93,7 +93,7 @@ def main():
             input_noise={"type": "diffusion", "n_channels": 2, "mode": "concatenate", "centered": True, "sigma": 1.0, "lambd": 0.5},
             losses=[{"type": "crps", "channel_weights": "constant", "parameters": {"crps_type": "skillspread"}}],
         )
-    elif mode == "infer":
+    elif mode in ("infer", "einfer"):
         # multi-process score_model: every process walks the same global IC
         # batches, feeding only its rows (ADVICE r2: the per-process IC split
         # desynchronized the SPMD programs)
@@ -103,8 +103,7 @@ def main():
         own = os.path.join(tmpdir, f"data_p{pid}")
         os.makedirs(own, exist_ok=True)
         paths = init_hdf5_dataset(own)  # seed=0: identical files on every process
-        iparams = get_default_parameters(
-            own,
+        overrides = dict(
             valid_autoreg_steps=1,
             batch_size=2,
             metric_names=["rmse", "acc", "l1"],
@@ -113,6 +112,24 @@ def main():
             w_parallel_size=2,
             **paths,
         )
+        if mode == "einfer":
+            # ensemble scoring with the ensemble axis spanning processes
+            # (ref README.md:62-68 ensemble+model+data-parallel scoring):
+            # mesh (batch=1, ensemble=2, h=2, w=2) with E=4 puts members
+            # 0-1 of every IC on proc0 and members 2-3 on proc1 (the folded
+            # rows straddle hosts), while the single tar copy of each IC is
+            # replicated across the ensemble ranks
+            overrides.update(
+                ensemble_size=4,
+                ensemble_parallel_size=2,
+                h_parallel_size=2,
+                w_parallel_size=2,
+                batch_size=1,
+                n_ics=3,
+                metric_names=["rmse", "acc", "crps", "ssr"],
+                input_noise={"type": "diffusion", "n_channels": 2, "mode": "concatenate", "centered": True, "sigma": 1.0, "lambd": 0.5},
+            )
+        iparams = get_default_parameters(own, **overrides)
         from makani_tpu.utils.inference.inferencer import Inferencer
 
         inf = Inferencer(iparams)
@@ -123,6 +140,8 @@ def main():
             "train_loss": float(logs["rmse"]),  # reuse the result keys
             "valid_loss": float(logs["acc"]),
             "rmse": float(logs["rmse"]),
+            "crps": float(logs["crps"]) if "crps" in logs else None,
+            "ssr": float(logs["ssr"]) if "ssr" in logs else None,
             "io_tile_x": [],
             "io_tile_y": [],
         }

@@ -83,3 +83,33 @@ def test_ensemble_inference(tmp_path):
     inf = Inferencer(params)
     logs = inf.score_model(output_dir=None)
     assert np.isfinite(logs["crps"]) and np.isfinite(logs["ssr"])
+
+
+def test_score_model_pads_ragged_ic_count(tmp_path):
+    """5 ICs with batch 2 pads the last batch; metrics must equal the bs=1
+    run (pad rows masked out of metrics and streaming buffers)."""
+    from makani_tpu.utils.inference.inferencer import Inferencer
+
+    paths = init_hdf5_dataset(tmp_path)
+
+    def run(bs, out):
+        params = get_default_parameters(
+            tmp_path,
+            batch_size=bs,
+            n_ics=5,
+            valid_autoreg_steps=1,
+            metric_names=["rmse", "acc", "l1"],
+            **paths,
+        )
+        inf = Inferencer(params)
+        logs = inf.score_model(output_dir=out)
+        pmesh.cleanup()
+        mean, _ = inf.temporal_buffer.finalize()
+        return logs, mean
+
+    logs2, mean2 = run(2, os.path.join(str(tmp_path), "o2"))
+    logs1, mean1 = run(1, os.path.join(str(tmp_path), "o1"))
+
+    for k in ("rmse", "acc", "l1"):
+        assert logs2[k] == pytest.approx(logs1[k], rel=1e-5)
+    np.testing.assert_allclose(mean2, mean1, rtol=1e-4, atol=5e-6)
