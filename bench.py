@@ -79,7 +79,15 @@ def main():
     # PERF.md round 3; the no-AUTO fallback reads 13.61 at scan=32)
     scan_k = int(os.environ.get("BENCH_SCAN", 32))
 
-    names = [f"ch{i}" for i in range(73)]
+    nettype = os.environ.get("BENCH_NETTYPE", "SFNO")
+    if nettype == "FCN3":
+        # FCN3 needs real ERA5 channel names: the encoder groups channels by
+        # pressure level (ref config/fourcastnet3.yaml channel list)
+        names = ["u10m", "v10m", "u100m", "v100m", "t2m", "sp", "msl", "tcwv"]
+        for v in ("u", "v", "z", "t", "q"):
+            names += [f"{v}{p}" for p in (50, 100, 150, 200, 250, 300, 400, 500, 600, 700, 850, 925, 1000)]
+    else:
+        names = [f"ch{i}" for i in range(73)]
     params = ParamsBase(
         dict(
             nettype="SFNO",
@@ -108,6 +116,28 @@ def main():
             multistep={"push_forward": False},
         )
     )
+
+    if nettype == "FCN3":
+        # the published FCN3 recipe at the bench resolution (ref
+        # config/fourcastnet3.yaml: morlet basis, kernel [3,3], 10 layers,
+        # sfno_block_frequency 5, atmo/surf/aux embed 45/56/36)
+        params.update(
+            dict(
+                nettype="FCN3",
+                scale_factor=int(os.environ.get("BENCH_SCALE_FACTOR", 2)),
+                atmo_embed_dim=int(os.environ.get("BENCH_ATMO_EMBED", 45)),
+                surf_embed_dim=int(os.environ.get("BENCH_SURF_EMBED", 56)),
+                aux_embed_dim=int(os.environ.get("BENCH_AUX_EMBED", 36)),
+                num_layers=int(os.environ.get("BENCH_LAYERS", 10)),
+                sfno_block_frequency=5,
+                kernel_shape=[3, 3],
+                filter_basis_type="morlet th",
+                filter_basis_norm_mode="mean",
+                normalization_layer="none",
+                channels_last=os.environ.get("BENCH_CHANNELS_LAST", "1") == "1",
+            ),
+            allow_new=True,
+        )
 
     model, _ = get_model(params, multistep=True)
     loss_obj = LossHandler(params)
@@ -282,8 +312,9 @@ def main():
     # FLOP/byte-roofline A100-80GB estimate of the reference at this config
     # (derivation in BASELINE.md); override with BENCH_BASELINE_SPS
     baseline = float(os.environ.get("BENCH_BASELINE_SPS", 13.6))
+    desc = f"SFNO-73ch {nlat}x{nlon} e{embed}L{layers}" if nettype != "FCN3" else f"FCN3-73ch {nlat}x{nlon} L{params.get('num_layers')}"
     result = {
-        "metric": f"SFNO-73ch {nlat}x{nlon} e{embed}L{layers} bf16 train samples/sec/chip",
+        "metric": f"{desc} bf16 train samples/sec/chip",
         "value": round(sps, 4),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / baseline, 4),

@@ -58,6 +58,7 @@ class DiscoConv(nn.Module):
     groups: int = 1
     use_bias: bool = False
     gain: float = 1.0
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,13 +69,21 @@ class DiscoConv(nn.Module):
         std = math.sqrt(self.gain / (cin_g * K))
         w = self.param("weight", nn.initializers.normal(stddev=std), (g, cout_g, cin_g, K), jnp.float32)
 
-        t = self.conv_op(x.astype(jnp.float32))  # (B, C, K, Hout, Wout)
+        xin = jnp.transpose(x, (0, 3, 1, 2)) if self.channels_last else x
+        cdt = getattr(self.conv_op, "compute_dtype", jnp.float32)
+        t = self.conv_op(xin.astype(cdt))  # (B, C, K, Hout, Wout)
         B, C, _, Ho, Wo = t.shape
         tg = t.reshape(B, g, cin_g, K, Ho, Wo)
-        y = jnp.einsum("bgikhw,goik->bgohw", tg, w).reshape(B, self.out_channels, Ho, Wo)
+        w = w.astype(t.dtype)
+        if self.channels_last:
+            # contract straight into channels-last: the (h*w, o) GEMM keeps
+            # channels on the minor axis for the surrounding CL layers
+            y = jnp.einsum("bgikhw,goik->bhwgo", tg, w).reshape(B, Ho, Wo, self.out_channels)
+        else:
+            y = jnp.einsum("bgikhw,goik->bgohw", tg, w).reshape(B, self.out_channels, Ho, Wo)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
-            y = y + bias[None, :, None, None]
+            y = y + (bias if self.channels_last else bias[None, :, None, None])
         return y.astype(x.dtype)
 
 
@@ -226,13 +235,14 @@ class FCN3Block(nn.Module):
     basis_norm_mode: str = "mean"
     use_bias: bool = False
     theta_cutoff: Optional[float] = None
+    channels_last: bool = False
     dtype: Any = jnp.float32
 
     def _norm(self, name):
         if self.normalization_layer == "none":
             return None
         if self.normalization_layer == "instance_norm":
-            return InstanceNorm2d(num_features=self.inp_chans, eps=1e-6, affine=True, dtype=self.dtype, name=name)
+            return InstanceNorm2d(num_features=self.inp_chans, eps=1e-6, affine=True, channels_last=self.channels_last, dtype=self.dtype, name=name)
         if self.normalization_layer == "instance_norm_s2":
             return GeometricInstanceNormS2(
                 img_shape=self.internal_shape,
@@ -240,11 +250,12 @@ class FCN3Block(nn.Module):
                 num_features=self.inp_chans,
                 eps=1e-6,
                 affine=True,
+                channels_last=self.channels_last,
                 dtype=self.dtype,
                 name=name,
             )
         if self.normalization_layer == "layer_norm":
-            return ChannelLayerNorm(num_features=self.inp_chans, eps=1e-6, affine=True, dtype=self.dtype, name=name)
+            return ChannelLayerNorm(num_features=self.inp_chans, eps=1e-6, affine=True, channels_last=self.channels_last, dtype=self.dtype, name=name)
         raise NotImplementedError(f"normalization {self.normalization_layer}")
 
     @nn.compact
@@ -262,6 +273,7 @@ class FCN3Block(nn.Module):
                 num_groups=self.num_groups,
                 operator_type="dhconv",
                 use_bias=self.use_bias,
+                channels_last=self.channels_last,
                 dtype=self.dtype,
                 name="global_conv",
             )(x)
@@ -278,7 +290,13 @@ class FCN3Block(nn.Module):
                 theta_cutoff=theta_cutoff,
             )
             dx = DiscoConv(
-                conv_op, self.inp_chans, self.inp_chans, groups=self.num_groups, dtype=self.dtype, name="local_conv"
+                conv_op,
+                self.inp_chans,
+                self.inp_chans,
+                groups=self.num_groups,
+                channels_last=self.channels_last,
+                dtype=self.dtype,
+                name="local_conv",
             )(x)
         else:
             raise ValueError(f"Unknown convolution type {self.conv_type}")
@@ -294,6 +312,7 @@ class FCN3Block(nn.Module):
                 act_layer=self.act_layer,
                 drop_rate=self.mlp_drop_rate,
                 drop_type="features",
+                channels_last=self.channels_last,
                 dtype=self.dtype,
                 name="mlp",
             )(dx, deterministic=deterministic)
@@ -302,12 +321,13 @@ class FCN3Block(nn.Module):
             dx = DropPath(self.path_drop_rate, name="drop_path")(dx, deterministic=deterministic)
 
         if self.layer_scale:
-            dx = LayerScale(self.out_chans, name="layer_scale")(dx)
+            dx = LayerScale(self.out_chans, channels_last=self.channels_last, name="layer_scale")(dx)
 
+        xs = x[..., : self.out_chans] if self.channels_last else x[:, : self.out_chans]
         if self.skip == "identity":
-            return x[:, : self.out_chans] + dx
+            return xs + dx
         if self.skip == "linear":
-            return Conv1x1(self.out_chans, use_bias=False, kernel_std=math.sqrt(1.0 / self.inp_chans), dtype=self.dtype, name="skip")(x[:, : self.out_chans]) + dx
+            return Conv1x1(self.out_chans, use_bias=False, kernel_std=math.sqrt(1.0 / self.inp_chans), channels_last=self.channels_last, dtype=self.dtype, name="skip")(xs) + dx
         return dx
 
 
@@ -348,6 +368,11 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
     # cutoff heuristic: "nlat" (FCN3, fourcastnet3.py:47-50) or "lmax"
     # (FCN3.1, fourcastnet3_1.py:55-57: kernel_shape[0] * pi / lmax)
     theta_cutoff_mode: str = "nlat"
+    # run the processor in channels-last layout: channel-contracting GEMMs
+    # (MLPs, spectral convs, DISCO weight mixes) keep channels minormost for
+    # the MXU (SFNO's conversion measured 1.6x on these GEMMs, PERF.md);
+    # the external (B, C, H, W) interface and parameter shapes are unchanged
+    channels_last: bool = True
     checkpointing_level: int = 0
     # optional normalization stats for water clamping offsets
     water_means: Optional[Any] = None
@@ -401,15 +426,26 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 f"(n_history > 0? use nettype FCN3.1)"
             )
 
+        # trainers may feed lat-padded inputs (Hpad = H + (-H) % mesh_h,
+        # SFNO's padded-721 convention); run the net on logical rows and pad
+        # the output back (the distributed DISCO re-pads internally)
+        pad_h = x.shape[-2] - self.inp_shape[0]
+        if pad_h > 0:
+            x = x[..., : self.inp_shape[0], :]
+
         if self.big_skip:
             residual = x[:, :n_out_chans]
 
-        # ---- encode (shared atmo encoder batched over pressure-level groups)
+        # ---- encode (shared atmo encoder batched over pressure-level groups);
+        # checkpointing level >= 1 remats the full-res encoders/decoders
+        # (ref fourcastnet3_1.py:1113-1125 applies the same levels)
+        enc_cls = nn.remat(DiscreteContinuousEncoder) if self.checkpointing_level >= 1 else DiscreteContinuousEncoder
+        dec_cls = nn.remat(DiscreteContinuousDecoder) if self.checkpointing_level >= 1 else DiscreteContinuousDecoder
         x_atmo = x[:, np.asarray(atmo_chans)] if atmo_chans else None
         enc_parts = []
         if x_atmo is not None:
             xa = x_atmo.reshape(B * n_atmo_groups, n_atmo, *self.inp_shape)
-            xa = DiscreteContinuousEncoder(
+            xa = enc_cls(
                 self.inp_shape,
                 (h, w),
                 n_atmo,
@@ -429,7 +465,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
             )(xa)
             enc_parts.append(xa.reshape(B, n_atmo_groups * self.atmo_embed_dim, h, w))
         if n_surf > 0:
-            xs = DiscreteContinuousEncoder(
+            xs = enc_cls(
                 self.inp_shape,
                 (h, w),
                 n_surf,
@@ -452,7 +488,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
 
         z_aux = None
         if n_aux > 0:
-            z_aux = DiscreteContinuousEncoder(
+            z_aux = enc_cls(
                 self.inp_shape,
                 (h, w),
                 n_aux,
@@ -474,13 +510,19 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
         if self.pos_drop_rate > 0:
             z = nn.Dropout(self.pos_drop_rate)(z, deterministic=deterministic)
 
-        # ---- processor
+        # ---- processor (channels-last inside: one transpose in, one out)
+        cl = self.channels_last
+        if cl:
+            z = jnp.transpose(z, (0, 2, 3, 1))
+            if z_aux is not None:
+                z_aux = jnp.transpose(z_aux, (0, 2, 3, 1))
         dpr = np.linspace(0, self.path_drop_rate, self.num_layers)
+        block_cls = nn.remat(FCN3Block, static_argnums=(2,)) if self.checkpointing_level >= 3 else FCN3Block
         for i in range(self.num_layers):
             conv_type = "global" if i % self.sfno_block_frequency == 0 else "local"
             if z_aux is not None:
-                z = jnp.concatenate([z, z_aux], axis=1)
-            z = FCN3Block(
+                z = jnp.concatenate([z, z_aux], axis=-1 if cl else 1)
+            z = block_cls(
                 sht,
                 isht,
                 total_embed + (self.aux_embed_dim if z_aux is not None else 0),
@@ -502,14 +544,17 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_bias=self.use_bias,
                 theta_cutoff=t_cut,
+                channels_last=cl,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(z, deterministic=deterministic)
+            )(z, deterministic)
+        if cl:
+            z = jnp.transpose(z, (0, 3, 1, 2))
 
         # ---- decode
         out = jnp.zeros((B, n_out_chans, *self.out_shape), x.dtype)
         za = z[:, : n_atmo_groups * self.atmo_embed_dim].reshape(B * n_atmo_groups, self.atmo_embed_dim, h, w)
-        ya = DiscreteContinuousDecoder(
+        ya = dec_cls(
             (h, w),
             self.out_shape,
             self.atmo_embed_dim,
@@ -530,7 +575,7 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
         )(za)
         out = out.at[:, np.asarray(atmo_chans)].set(ya.reshape(B, n_atmo_groups * n_atmo, *self.out_shape))
         if n_surf > 0:
-            ys = DiscreteContinuousDecoder(
+            ys = dec_cls(
                 (h, w),
                 self.out_shape,
                 self.surf_embed_dim,
@@ -573,4 +618,6 @@ class AtmoSphericNeuralOperatorNet(nn.Module):
                 clamped = _soft_clamp(out[:, widx], offset=offset) - offset
                 out = out.at[:, widx].set(clamped.astype(out.dtype))
 
+        if pad_h > 0:
+            out = jnp.pad(out, [(0, 0), (0, 0), (0, pad_h), (0, 0)])
         return out

@@ -28,7 +28,12 @@ Deviation (documented): the reference decoder emits channels in
 ``[surface..., atmo...]`` order (its ``pred_channels`` permutation); here the
 decoded channels are scattered back to the dataset channel order so the
 network's external contract matches the rest of the framework (losses,
-metrics and water-channel indices all address dataset order).
+metrics and water-channel indices all address dataset order). Checkpoint
+import is unaffected: OUR decoder also produces rows in the same
+``surf + atmo`` order before the scatter (``_channel_bookkeeping``), so
+imported decoder weights align row-for-row with the reference's — only the
+placement of the finished channels differs (tested in
+tests/test_fcn31.py::test_fcn31_decoder_row_order_matches_reference).
 
 Input layout (the framework's preprocessor convention): history steps are
 flattened oldest-first, each step carrying ``[prognostic..., dynamic aux
@@ -107,6 +112,9 @@ class AtmoSphericNeuralOperatorNet31(nn.Module):
     clamp_water: bool = False
     encoder_bias: bool = False
     use_bias: bool = False
+    # channels-last processor (see fourcastnet3.py: same FCN3Block flag;
+    # external interface and parameter shapes unchanged)
+    channels_last: bool = True
     checkpointing_level: int = 0
     # accepted for reference-config compatibility; our DISCO path is always
     # the precomputed-table ("fused") formulation
@@ -185,6 +193,11 @@ class AtmoSphericNeuralOperatorNet31(nn.Module):
         kernel_shape = tuple(self.kernel_shape)
         B = x.shape[0]
 
+        # lat-padded inputs: run on logical rows, pad the output back
+        pad_h = x.shape[-2] - self.inp_shape[0]
+        if pad_h > 0:
+            x = x[..., : self.inp_shape[0], :]
+
         # ---- learned SST imputation (NaN/land positions filled by an MLP
         # conditioned on all input channels; ref :741-748, 965-979)
         if sst_in:
@@ -257,13 +270,19 @@ class AtmoSphericNeuralOperatorNet31(nn.Module):
         if self.pos_drop_rate > 0:
             z = nn.Dropout(self.pos_drop_rate)(z, deterministic=deterministic)
 
-        # ---- processor: aux (+pos embed) re-concatenated before every block
+        # ---- processor: aux (+pos embed) re-concatenated before every block;
+        # channels-last inside (one transpose in, one out)
+        cl = self.channels_last
+        if cl:
+            z = jnp.transpose(z, (0, 2, 3, 1))
+            if z_aux is not None:
+                z_aux = jnp.transpose(z_aux, (0, 2, 3, 1))
         dpr = np.linspace(0, self.path_drop_rate, self.num_layers)
         block_cls = nn.remat(FCN3Block, static_argnums=(2,)) if self.checkpointing_level >= 3 else FCN3Block
         for i in range(self.num_layers):
             conv_type = "global" if (self.sfno_block_frequency > 0 and i % self.sfno_block_frequency == 0) else "local"
             if z_aux is not None:
-                z = jnp.concatenate([z, z_aux], axis=1)
+                z = jnp.concatenate([z, z_aux], axis=-1 if cl else 1)
             z = block_cls(
                 sht,
                 isht,
@@ -286,9 +305,12 @@ class AtmoSphericNeuralOperatorNet31(nn.Module):
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_bias=self.use_bias,
                 theta_cutoff=t_cut,
+                channels_last=cl,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(z, deterministic)
+        if cl:
+            z = jnp.transpose(z, (0, 3, 1, 2))
 
         # ---- unified decoder (ref :785-801), scattered to dataset order
         dec_cls = nn.remat(DiscreteContinuousDecoder) if self.checkpointing_level >= 1 else DiscreteContinuousDecoder
@@ -330,4 +352,6 @@ class AtmoSphericNeuralOperatorNet31(nn.Module):
                 clamped = _soft_clamp(out[:, widx], offset=offset) - offset
                 out = out.at[:, widx].set(clamped.astype(out.dtype))
 
+        if pad_h > 0:
+            out = jnp.pad(out, [(0, 0), (0, 0), (0, pad_h), (0, 0)])
         return out

@@ -45,6 +45,7 @@ class SphericalNeuralOperatorNet(nn.Module):
     scale_factor: int = 8
     kernel_shape: Sequence[int] = (3, 4)
     encoder_kernel_shape: Sequence[int] = (3, 4)
+    filter_basis_type: str = "harmonic"
     filter_basis_norm_mode: str = "mean"
     encoder_mlp: bool = False
     num_groups: int = 1
@@ -62,6 +63,8 @@ class SphericalNeuralOperatorNet(nn.Module):
     big_skip: bool = True
     use_bias: bool = False
     upsample_sht: bool = False
+    # channels-last processor (see fourcastnet3.py FCN3Block flag)
+    channels_last: bool = True
     checkpointing_level: int = 0
     dtype: Any = jnp.float32
 
@@ -80,6 +83,11 @@ class SphericalNeuralOperatorNet(nn.Module):
             "sht", (h, w), (h, w), (h, w), modes, self.sht_grid_type, self.sht_grid_type
         )
 
+        # lat-padded inputs: run on logical rows, pad the output back
+        pad_h = x.shape[-2] - self.inp_shape[0]
+        if pad_h > 0:
+            x = x[..., : self.inp_shape[0], :]
+
         if self.big_skip:
             residual = x[:, : self.out_chans]
 
@@ -91,6 +99,7 @@ class SphericalNeuralOperatorNet(nn.Module):
             grid_in=self.model_grid_type,
             grid_out=self.sht_grid_type,
             kernel_shape=tuple(self.encoder_kernel_shape),
+            basis_type=self.filter_basis_type,
             basis_norm_mode=self.filter_basis_norm_mode,
             use_mlp=self.encoder_mlp,
             act_layer=act,
@@ -103,6 +112,9 @@ class SphericalNeuralOperatorNet(nn.Module):
         if self.pos_drop_rate > 0:
             z = nn.Dropout(self.pos_drop_rate)(z, deterministic=deterministic)
 
+        cl = self.channels_last
+        if cl:
+            z = jnp.transpose(z, (0, 2, 3, 1))
         dpr = np.linspace(0, self.path_drop_rate, self.num_layers)
         for i in range(self.num_layers):
             conv_type = "global" if i % self.sfno_block_frequency == 0 else "local"
@@ -124,11 +136,15 @@ class SphericalNeuralOperatorNet(nn.Module):
                 layer_scale=self.layer_scale,
                 use_mlp=self.use_mlp,
                 kernel_shape=tuple(self.kernel_shape),
+                basis_type=self.filter_basis_type,
                 basis_norm_mode=self.filter_basis_norm_mode,
                 use_bias=self.use_bias,
+                channels_last=cl,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(z, deterministic=deterministic)
+        if cl:
+            z = jnp.transpose(z, (0, 3, 1, 2))
 
         y = DiscreteContinuousDecoder(
             (h, w),
@@ -138,6 +154,7 @@ class SphericalNeuralOperatorNet(nn.Module):
             grid_in=self.sht_grid_type,
             grid_out=self.model_grid_type,
             kernel_shape=tuple(self.encoder_kernel_shape),
+            basis_type=self.filter_basis_type,
             basis_norm_mode=self.filter_basis_norm_mode,
             use_mlp=self.encoder_mlp,
             act_layer=act,
@@ -157,4 +174,6 @@ class SphericalNeuralOperatorNet(nn.Module):
                 name="residual_transform",
             )(residual)
 
+        if pad_h > 0:
+            y = jnp.pad(y, [(0, 0), (0, 0), (0, pad_h), (0, 0)])
         return y

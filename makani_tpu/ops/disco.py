@@ -544,6 +544,12 @@ class DiscoConvS2:
         )
         self.__dict__.update(tbl)
         self.WW = 2 * self.halo + 1
+        # MAKANI_DISCO_BF16=1 runs the banded conv in bfloat16 (MXU conv with
+        # fp32 accumulation; halves the (B, C, K, Hout, Wout) response bytes).
+        # The polar FFT rows always stay fp32.
+        import os as _os
+
+        self.compute_dtype = jnp.bfloat16 if _os.environ.get("MAKANI_DISCO_BF16", "0") == "1" else jnp.float32
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, C, Hin, Win = x.shape
@@ -568,8 +574,8 @@ class DiscoConvS2:
             # BL band rows (input features) to its K basis responses (output
             # features) — replaces the former per-band-row loop that re-read
             # the windowed input BL times
-            inp = xs.reshape(B * C, Hout * BL, xs.shape[-1]).astype(jnp.float32)
-            filt = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
+            inp = xs.reshape(B * C, Hout * BL, xs.shape[-1]).astype(self.compute_dtype)
+            filt = jnp.asarray(self.psi_band[p]).astype(self.compute_dtype)  # (K, Hout, BL, WW)
             filt = jnp.transpose(filt, (1, 0, 2, 3)).reshape(Hout * K, BL, self.WW)
             out = jax.lax.conv_general_dilated(
                 inp,
@@ -602,7 +608,7 @@ class DiscoConvS2:
                 # already folded into the psi table, so column u sits at shift u*a
                 cols = (np.arange(n_out_p) * a) % Win
                 t_pp = corr[..., cols]
-                t_p = t_p.at[:, :, :, rows, :].set(t_pp)
+                t_p = t_p.at[:, :, :, rows, :].set(t_pp.astype(t_p.dtype))
             phase_outputs.append(t_p)
 
         # interleave phases: output column wo = p + b*u

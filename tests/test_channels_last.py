@@ -126,3 +126,46 @@ def test_conv1x1_casts_input_to_compute_dtype():
     p = layer.init(jax.random.PRNGKey(0), x)
     out = layer.apply(p, x)
     assert out.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("norm", ["none", "instance_norm_s2"])
+def test_fcn3_channels_last_parity(norm):
+    """FCN3 processor in channels-last reproduces the NCHW outputs and grads
+    with the same parameter tree (VERDICT r3 item 2)."""
+    from makani_tpu.models.networks.fourcastnet3 import AtmoSphericNeuralOperatorNet as FCN3
+
+    names = ["u10m", "v10m", "t2m", "u500", "v500", "z500", "u850", "v850", "z850"]
+    kw = dict(
+        inp_shape=(16, 32),
+        out_shape=(16, 32),
+        scale_factor=2,
+        channel_names=tuple(names),
+        aux_channel_names=("szenith",),
+        atmo_embed_dim=6,
+        surf_embed_dim=6,
+        aux_embed_dim=4,
+        num_layers=2,
+        sfno_block_frequency=2,
+        kernel_shape=(3, 3),
+        filter_basis_type="morlet th",
+        normalization_layer=norm,
+        clamp_water=False,
+    )
+    m0 = FCN3(channels_last=False, **kw)
+    m1 = FCN3(channels_last=True, **kw)
+    x = jnp.asarray(_rand(2, len(names) + 1, 16, 32, seed=3))
+
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    p1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jtu.tree_map(lambda a: a.shape, p0) == jtu.tree_map(lambda a: a.shape, p1)
+
+    o0 = m0.apply(p0, x)
+    o1 = m1.apply(p0, x)
+    scale = float(jnp.abs(o0).max())
+    np.testing.assert_allclose(o1, o0, atol=5e-5 * scale)
+
+    g0 = jax.grad(lambda p: jnp.mean(m0.apply(p, x) ** 2))(p0)
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply(p, x) ** 2))(p0)
+    gmax = max(float(jnp.abs(le).max()) for le in jtu.tree_leaves(g0))
+    for (path, a), b in zip(jtu.tree_flatten_with_path(g0)[0], jtu.tree_leaves(g1)):
+        np.testing.assert_allclose(a, b, atol=5e-4 * gmax, err_msg=jtu.keystr(path))

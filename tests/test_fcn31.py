@@ -179,3 +179,45 @@ def test_mlp_imputation_preserves_valid_data():
     np.testing.assert_array_equal(y[:, 1, 4:], x[:, 1, 4:])
     np.testing.assert_array_equal(y[:, 0], x[:, 0])
     np.testing.assert_array_equal(y[:, 2], x[:, 2])
+
+
+def test_fcn31_channels_last_parity():
+    """Channels-last processor reproduces NCHW outputs/grads with the same
+    parameter tree (VERDICT r3 item 2)."""
+    m0, _ = get_model(_params(channels_last=False), multistep=True)
+    m1, _ = get_model(_params(channels_last=True), multistep=True)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, len(NAMES), 16, 32).astype(np.float32))
+    zen = jnp.asarray(rng.randn(2, 1, 1, 16, 32).astype(np.float32))
+
+    p0 = m0.init(jax.random.PRNGKey(0), x, zen)
+    p1 = m1.init(jax.random.PRNGKey(0), x, zen)
+    assert jtu.tree_map(lambda a: a.shape, p0) == jtu.tree_map(lambda a: a.shape, p1)
+
+    o0 = m0.apply(p0, x, zen, train=False)
+    o1 = m1.apply(p0, x, zen, train=False)
+    scale = float(jnp.abs(o0).max())
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=5e-5 * scale)
+
+    g0 = jax.grad(lambda p: float(0) + jnp.mean(m0.apply(p, x, zen, train=False) ** 2))(p0)
+    g1 = jax.grad(lambda p: float(0) + jnp.mean(m1.apply(p, x, zen, train=False) ** 2))(p0)
+    gmax = max(float(jnp.abs(le).max()) for le in jtu.tree_leaves(g0))
+    for (path, a), b in zip(jtu.tree_flatten_with_path(g0)[0], jtu.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4 * gmax, err_msg=jtu.keystr(path))
+
+
+def test_fcn31_decoder_row_order_matches_reference():
+    """Decoder rows are in the reference's pred_channels order (surf then
+    atmo, ref fourcastnet3_1.py:961) before the dataset-order scatter, so
+    imported decoder weights align row-for-row without permutation."""
+    from makani_tpu.models.networks.fourcastnet3_1 import AtmoSphericNeuralOperatorNet31
+    from makani_tpu.utils.features import get_channel_groups
+
+    net = AtmoSphericNeuralOperatorNet31(
+        channel_names=tuple(NAMES), aux_channel_names=("xzen0",), n_history=0,
+    )
+    in_idx, aux_idx, pred_idx, resid_idx, sst_in, lsm_in, n_prog = net._channel_bookkeeping()
+    atmo, surf, _, _, _ = get_channel_groups(list(NAMES), [])
+    assert pred_idx == list(surf) + list(atmo)
+    # in_channels likewise mirror ref in_channels = surf_in + atmo_in
+    assert in_idx == list(surf) + list(atmo)
