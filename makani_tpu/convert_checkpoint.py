@@ -264,6 +264,19 @@ def convert_disco_state_dict(state: Dict[str, np.ndarray], target_shapes: Option
     if "model.residual_transform.weight" in state:
         put(("residual_transform", "kernel"), _conv1x1(state["model.residual_transform.weight"]))
 
+    # FCN3.1 extras: learned lat position embedding (1, C, h, 1) transfers
+    # verbatim (ref pos_embedding.py LearnablePositionEmbedding "lat") and
+    # the SST-imputation MLP is a plain EncoderDecoder
+    if "model.pos_embed.position_embeddings" in state:
+        put(("pos_embed",), state["model.pos_embed.position_embeddings"])
+    if "model.sst_imputation.mlp.fwd.0.weight" in state:
+        put(("sst_imputation", "mlp", "hidden0", "kernel"), _conv1x1(state["model.sst_imputation.mlp.fwd.0.weight"]))
+        if "model.sst_imputation.mlp.fwd.0.bias" in state:
+            put(("sst_imputation", "mlp", "hidden0", "bias"), state["model.sst_imputation.mlp.fwd.0.bias"])
+        put(("sst_imputation", "mlp", "out", "kernel"), _conv1x1(state["model.sst_imputation.mlp.fwd.2.weight"]))
+        if "model.sst_imputation.mlp.fwd.2.bias" in state:
+            put(("sst_imputation", "mlp", "out", "bias"), state["model.sst_imputation.mlp.fwd.2.bias"])
+
     tree = {"params": {"model": model}}
     if target_shapes is not None:
         _validate_shapes(model, target_shapes)

@@ -119,11 +119,17 @@ class SpectralConv(nn.Module):
         # the precision policy: bf16 in DEFAULT mode (the MXU rounds operands
         # to bf16 regardless; fp32 IO would only double full-res HBM traffic),
         # fp32 for the multi-pass HIGH/HIGHEST modes.
+        from jax.ad_checkpoint import checkpoint_name
+
         from makani_tpu.ops.precision import transform_io_dtype
 
+        # transform outputs are tagged so the "save_transforms" remat policy
+        # (sfnonet.remat_policy) can keep them while recomputing the cheap
+        # elementwise/MLP chains — at full res the SHT matmuls dominate the
+        # recompute bill of plain per-block remat
         if self.channels_last:
             # x: (B, H, W, C); spectral layout (B, L, M, C, 2)
-            xc2 = self.forward_transform.analysis_cl(x.astype(transform_io_dtype()))
+            xc2 = checkpoint_name(self.forward_transform.analysis_cl(x.astype(transform_io_dtype())), "spectral_transform")
             if scale_residual:
                 residual = self.inverse_transform.synthesis_cl(xc2).astype(dtype)
             B = xc2.shape[0]
@@ -133,13 +139,13 @@ class SpectralConv(nn.Module):
                 xg2, weight, separable=self.separable, operator_type=self.operator_type, channels_last=True
             )
             y2 = yg2.reshape(B, H, W, self.out_channels, 2)
-            y = self.inverse_transform.synthesis_cl(y2).astype(dtype)
+            y = checkpoint_name(self.inverse_transform.synthesis_cl(y2), "spectral_transform").astype(dtype)
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1), jnp.float32)
                 y = y + bias.reshape(1, 1, 1, self.out_channels).astype(dtype)
             return y, residual
 
-        xc2 = self.forward_transform.analysis(x.astype(transform_io_dtype()))
+        xc2 = checkpoint_name(self.forward_transform.analysis(x.astype(transform_io_dtype())), "spectral_transform")
         if scale_residual:
             residual = self.inverse_transform.synthesis(xc2).astype(dtype)
 
@@ -151,7 +157,7 @@ class SpectralConv(nn.Module):
         y2 = yg2.reshape(B, self.out_channels, H, W, 2)
 
         # --- inverse transform in fp32
-        y = self.inverse_transform.synthesis(y2).astype(dtype)
+        y = checkpoint_name(self.inverse_transform.synthesis(y2), "spectral_transform").astype(dtype)
 
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (1, self.out_channels, 1, 1), jnp.float32)

@@ -71,6 +71,18 @@ class DiscoConv(nn.Module):
 
         xin = jnp.transpose(x, (0, 3, 1, 2)) if self.channels_last else x
         cdt = getattr(self.conv_op, "compute_dtype", jnp.float32)
+
+        # weight-fused path for channel-grouped convs (encoders/decoders):
+        # the (B, C, K, Hout, Wout) response tensor never materializes
+        if getattr(self.conv_op, "supports_fused", False) and g * cout_g * cin_g <= 4096:
+            y = self.conv_op.fused(xin.astype(cdt), w)
+            if self.channels_last:
+                y = jnp.transpose(y, (0, 2, 3, 1))
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+                y = y + (bias if self.channels_last else bias[None, :, None, None])
+            return y.astype(x.dtype)
+
         t = self.conv_op(xin.astype(cdt))  # (B, C, K, Hout, Wout)
         B, C, _, Ho, Wo = t.shape
         tg = t.reshape(B, g, cin_g, K, Ho, Wo)

@@ -524,6 +524,15 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             block_cls = nn.remat(
                 NeuralOperatorBlock, static_argnums=(2,), policy=jax.checkpoint_policies.dots_saveable
             )
+        elif self.remat_policy == "save_transforms":
+            # per-block remat that KEEPS the tagged SHT/FFT outputs: the bwd
+            # pass recomputes only elementwise chains and MLP GEMMs, not the
+            # full-res spectral transforms (the dominant recompute at 0.25 deg)
+            block_cls = nn.remat(
+                NeuralOperatorBlock,
+                static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names("spectral_transform"),
+            )
         elif self.remat_policy == "full":
             block_cls = nn.remat(NeuralOperatorBlock, static_argnums=(2,))
         else:

@@ -608,10 +608,107 @@ class DiscoConvS2:
                 # already folded into the psi table, so column u sits at shift u*a
                 cols = (np.arange(n_out_p) * a) % Win
                 t_pp = corr[..., cols]
-                t_p = t_p.at[:, :, :, rows, :].set(t_pp.astype(t_p.dtype))
+                # static-index insert as mask-multiply + one-hot matmul: a
+                # scatter (.at[].set) here makes XLA materialize full-size u32
+                # index tensors in the backward pass (two ~5 GB buffers at the
+                # 0.25-deg decoder); the einsum gradient is just a matmul
+                keep = np.ones((Hout,), np.float32)
+                keep[rows] = 0.0
+                onehot = np.zeros((len(rows), Hout), np.float32)
+                onehot[np.arange(len(rows)), rows] = 1.0
+                t_p = t_p * jnp.asarray(keep, t_p.dtype)[None, None, None, :, None] + jnp.einsum(
+                    "ph,bckpw->bckhw", jnp.asarray(onehot, t_p.dtype), t_pp.astype(t_p.dtype)
+                )
             phase_outputs.append(t_p)
 
         # interleave phases: output column wo = p + b*u
         t = jnp.stack(phase_outputs, axis=-1)  # (B, C, K, Hout, n_out_p, b)
         t = t.reshape(B, C, K, Hout, Wout)
         return t
+
+    # serial op only; the distributed subclass overrides __call__ with its
+    # own shard_map body and does not provide the fused path
+    supports_fused = True
+
+    def fused(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Weight-fused DISCO conv: x (B, g*ig, Hin, Win), w (g, og, ig, K)
+        -> y (B, g*og, Hout, Wout).
+
+        Pre-contracts the learned weights with the psi tables so the
+        (B, C, K, Hout, Wout) basis-response tensor never materializes — the
+        banded conv maps (ig * BL) window features directly to the og output
+        channels per latitude. Only worthwhile for the channel-grouped
+        encoders/decoders where g * og * ig is small (the effective filter is
+        (Hout * g * og, ig * BL, WW)); processor blocks with full channel
+        mixing keep the two-stage path.
+        """
+        B = x.shape[0]
+        g, og, ig, K = w.shape
+        Hout, Wout = self.out_shape
+        BL, halo = self.BL, self.halo
+        a, b = self.stride, self.phases
+        Win = x.shape[-1]
+        cdt = self.compute_dtype
+
+        band_rows = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
+        xb = x[:, :, band_rows.reshape(-1), :].reshape(B, g, ig, Hout, BL, Win)
+        xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hout, g, ig, BL, Win)
+
+        if self.polar_rows:
+            # polar rows need the un-fused responses (FFT path); compute their
+            # banded input slice once
+            rows = np.asarray(self.polar_rows)
+            xb_p = jnp.transpose(xb[:, rows], (0, 2, 3, 1, 4, 5))  # (B, g, ig, P, BL, Win)
+            keep = np.ones((Hout,), np.float32)
+            keep[rows] = 0.0
+            onehot = np.zeros((len(rows), Hout), np.float32)
+            onehot[np.arange(len(rows)), rows] = 1.0
+
+        phase_outputs = []
+        for p in range(b):
+            base = int(self.bases[p])
+            xs = jnp.roll(xb, -(base - halo), axis=-1)
+            n_out_p = Wout // b
+            needed = (n_out_p - 1) * a + self.WW
+            if needed > Win:
+                xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
+            inp = xs.reshape(B, Hout * g * ig * BL, xs.shape[-1]).astype(cdt)
+            # effective filter: psi contracted with the learned weights
+            psi = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
+            filt = jnp.einsum("goik,khjw->hgoijw", w.astype(jnp.float32), psi)
+            filt = filt.reshape(Hout * g * og, ig * BL, self.WW).astype(cdt)
+            out = jax.lax.conv_general_dilated(
+                inp,
+                filt,
+                window_strides=(a,),
+                padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=Hout * g,
+            )  # (B, Hout*g*og, n_out_p)
+            y_p = out.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
+
+            if self.polar_rows:
+                from makani_tpu.ops import fft_compat
+
+                Xs = fft_compat.rfft_s(xb_p.astype(jnp.float32), axis=-1)  # (B,g,ig,P,BL,M,2)
+                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)
+                psi_p = psi_p[:, :]  # (K, P, BL, Win)
+                Ps = fft_compat.rfft_s(jnp.asarray(psi_p), axis=-1)  # (K,P,BL,M,2)
+                re = jnp.einsum("bgipjm,kpjm->bgikpm", Xs[..., 0], Ps[..., 0]) + jnp.einsum(
+                    "bgipjm,kpjm->bgikpm", Xs[..., 1], Ps[..., 1]
+                )
+                im = jnp.einsum("bgipjm,kpjm->bgikpm", Xs[..., 1], Ps[..., 0]) - jnp.einsum(
+                    "bgipjm,kpjm->bgikpm", Xs[..., 0], Ps[..., 1]
+                )
+                corr = fft_compat.irfft_s(jnp.stack([re, im], axis=-1), n=Win, axis=-1, norm="backward")
+                cols = (np.arange(n_out_p) * a) % Win
+                t_pp = corr[..., cols]  # (B, g, ig, K, P, n_out_p)
+                y_pp = jnp.einsum("bgikpw,goik->bgopw", t_pp, w.astype(t_pp.dtype))
+                y_pp = y_pp.reshape(B, g * og, len(self.polar_rows), n_out_p)
+                y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
+                    "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
+                )
+            phase_outputs.append(y_p)
+
+        y = jnp.stack(phase_outputs, axis=-1)  # (B, Cout, Hout, n_out_p, b)
+        return y.reshape(B, g * og, Hout, Wout)

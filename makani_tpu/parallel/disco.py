@@ -56,6 +56,10 @@ class DistributedDiscoConvS2(DiscoConvS2):
     and the output comes back sharded the same way.
     """
 
+    # the fused weight path is serial-only: here the halo shard_map body owns
+    # the banded gather, so DiscoConv must use the two-stage contract
+    supports_fused = False
+
     def __init__(self, *args, h_axis="h", w_axis="w", **kwargs):
         super().__init__(*args, **kwargs)
         self.mesh = mesh_mod.get_mesh()

@@ -31,7 +31,7 @@ def main():
     tmpdir = sys.argv[4]
     mode = sys.argv[5] if len(sys.argv) > 5 else "batch"
 
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + ("4" if nproc == 2 else "8")
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=" + str(8 // nproc)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -78,7 +78,12 @@ def main():
         w_parallel_size=2,
     )
 
-    if mode == "hsplit":
+    if mode == "mm":
+        # tensor (matmul) axis spans processes: mesh (h=2, w=1, matmul=4)
+        # over 8 devices leaves batch=1, so each process holds 2 of the 4
+        # Megatron parameter shards (ref mpu/layers.py distributed matmul)
+        base.update(h_parallel_size=2, w_parallel_size=1, parameters_split_size=4, batch_size=4, n_train_samples_per_epoch=8, n_eval_samples=4)
+    elif mode == "hsplit":
         # latitude spans processes: proc0 owns rows [0, 12), proc1 [12, 24)
         base.update(h_parallel_size=4, w_parallel_size=2, batch_size=4, n_train_samples_per_epoch=8, n_eval_samples=4)
     elif mode == "ens":

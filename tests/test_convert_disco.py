@@ -189,3 +189,83 @@ def test_adam_state_converts_and_injects():
     # some converted moments landed (nonzero mu where init was zero)
     mu_max = max(float(jnp.abs(le).max()) for le in jtu.tree_leaves(adam_states[0].mu))
     assert mu_max > 0
+
+
+def _fcn31_params():
+    names = ["u10m", "v10m", "t2m", "sst", "z500", "q500"]
+    return ParamsBase(
+        dict(
+            nettype="FCN3.1",
+            img_shape_x=16,
+            img_shape_y=32,
+            scale_factor=2,
+            embed_dim=8,
+            aux_embed_dim=4,
+            pos_embed_dim=3,
+            encoder_bias=False,
+            filter_basis_type="fourier-bessel th",
+            filter_basis_norm_mode="nodal",
+            activation_function="sin",
+            hard_thresholding_fraction=1.0,
+            num_layers=2,
+            kernel_shape=[2, 3],
+            channel_names=names,
+            in_channels=list(range(len(names))),
+            out_channels=list(range(len(names))),
+            n_history=0,
+            n_future=0,
+            add_zenith=True,
+            losses=[{"type": "l2"}],
+            lr=1e-3,
+            optimizer_type="Adam",
+            scheduler="none",
+            multistep={"push_forward": False},
+        )
+    )
+
+
+def test_fcn31_state_dict_converts_and_runs():
+    """FCN3.1 converter round trip (VERDICT r3 item 6): unified encoder /
+    decoder, lat pos embed, SST-imputation MLP all land from reference-layout
+    names; the converted model runs and differs from the random init."""
+    params_cfg = _fcn31_params()
+    shapes = target_shapes_for(params_cfg)
+    rng = np.random.RandomState(0)
+    state = _torch_style_state(shapes, rng)
+    # FCN3.1-only leaves the generic emitter does not cover
+    state["model.pos_embed.position_embeddings"] = rng.randn(*shapes["pos_embed"]).astype(np.float32)
+    imp = shapes["sst_imputation"]["mlp"]
+    _, cin, cout = imp["hidden0"]["kernel"]
+    state["model.sst_imputation.mlp.fwd.0.weight"] = rng.randn(cout, cin, 1, 1).astype(np.float32)
+    state["model.sst_imputation.mlp.fwd.0.bias"] = rng.randn(*imp["hidden0"]["bias"]).astype(np.float32)
+    _, cin2, cout2 = imp["out"]["kernel"]
+    state["model.sst_imputation.mlp.fwd.2.weight"] = rng.randn(cout2, cin2, 1, 1).astype(np.float32)
+
+    tree = convert_disco_state_dict(state, target_shapes=shapes)
+    conv = tree["params"]["model"]
+    assert "pos_embed" in conv and conv["pos_embed"].shape == tuple(shapes["pos_embed"])
+    assert "sst_imputation" in conv
+    assert "encoder" in conv and "decoder" in conv
+
+    model, _ = get_model(params_cfg, multistep=True)
+    C = len(params_cfg["channel_names"])
+    x = jnp.asarray(np.random.RandomState(1).randn(1, C, 16, 32), jnp.float32)
+    zen = jnp.asarray(np.random.RandomState(2).randn(1, 1, 1, 16, 32), jnp.float32)
+    p0 = model.init(jax.random.PRNGKey(0), x, zen)
+
+    def overlay(path, leaf):
+        node = conv
+        for p in path[1:]:
+            key = p.key if hasattr(p, "key") else str(p)
+            if key == "model":
+                continue
+            if not isinstance(node, dict) or key not in node:
+                return leaf
+            node = node[key]
+        return jnp.asarray(node) if not isinstance(node, dict) else leaf
+
+    p1 = jtu.tree_map_with_path(overlay, p0)
+    out = model.apply(p1, x, zen, train=False)
+    assert bool(jnp.isfinite(out).all())
+    out0 = model.apply(p0, x, zen, train=False)
+    assert float(jnp.abs(out - out0).max()) > 1e-3

@@ -93,3 +93,71 @@ def test_crps_gradient_flows_to_forecasts():
     obs = jnp.asarray(rng.standard_normal(2).astype(np.float32))
     g = jax.grad(lambda e: jnp.sum(crps_ensemble(obs, e, crps_type="skillspread")))(ens)
     assert np.all(np.isfinite(np.asarray(g))) and np.abs(np.asarray(g)).max() > 0
+
+
+def test_kernels_match_exact_pairwise_enumeration():
+    """Exact finite-E identity (not asymptotic): fair CRPS =
+    mean|x_i - y| - sum_{i,j}|x_i - x_j| / (2 E (E-1)), and the biased (cdf /
+    naive alpha=(E-1)/E) variant divides by 2 E^2. Pins every kernel against
+    a dense fp64 O(E^2) enumeration on random data."""
+    from makani_tpu.utils.losses.crps_loss import crps_ensemble
+
+    rng = np.random.RandomState(42)
+    E = 7
+    obs = rng.randn(3, 4)
+    ens = rng.randn(3, 4, E)
+
+    skill = np.abs(ens - obs[..., None]).mean(axis=-1)
+    pair = np.abs(ens[..., :, None] - ens[..., None, :]).sum(axis=(-2, -1))
+    fair = skill - pair / (2 * E * (E - 1))
+    biased = skill - pair / (2 * E * E)
+
+    for crps_type, expect in [
+        ("skillspread", fair),
+        ("naive skillspread", fair),
+        ("probability weighted moment", fair),
+        ("cdf", biased),
+    ]:
+        got = np.asarray(crps_ensemble(jnp.asarray(obs), jnp.asarray(ens), crps_type))
+        np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-6, err_msg=crps_type)
+
+    # the alpha knob interpolates the fairness correction (E-1+alpha):
+    # alpha=0 reproduces the biased (cdf) estimator exactly
+    got = np.asarray(crps_ensemble(jnp.asarray(obs), jnp.asarray(ens), "skillspread", alpha=0.0))
+    np.testing.assert_allclose(got, biased, rtol=2e-5, atol=2e-6)
+
+
+def test_energy_score_matches_exact_pairwise_enumeration():
+    """L2 energy score vs dense pairwise fp64 enumeration (fair form)."""
+    from makani_tpu.utils.losses.energy_score import LpEnergyScoreLoss
+
+    H, W, E, C = 9, 16, 5, 2
+    names = ["u10m", "v10m"]
+    loss = LpEnergyScoreLoss(img_shape=(H, W), channel_names=names, grid_type="equiangular", p=2.0)
+
+    rng = np.random.RandomState(3)
+    fc = rng.randn(1, E, C, H, W).astype(np.float64)
+    ob = rng.randn(1, C, H, W).astype(np.float64)
+
+    got = np.asarray(loss(jnp.asarray(fc, jnp.float32), jnp.asarray(ob, jnp.float32)))
+
+    # quadrature-weighted L2 norm over the sphere, per channel
+    from makani_tpu.utils.grids import GridQuadrature
+
+    quad = GridQuadrature("naive", img_shape=(H, W), normalize=True)
+    qw = np.asarray(quad.quad_weight).reshape(H, W)
+
+    def norm(d):  # (C, H, W) -> (C,)
+        return np.sqrt((d**2 * qw).sum(axis=(-2, -1)))
+
+    skill = np.stack([norm(fc[0, i] - ob[0]) for i in range(E)]).mean(axis=0)
+    pair = np.zeros(C)
+    for i in range(E):
+        for j in range(E):
+            pair += norm(fc[0, i] - fc[0, j])
+    fair = skill - pair / (2 * E * (E - 1))
+    biased = skill - pair / (2 * E * E)
+    # accept either estimator convention, but it must match one exactly
+    err_fair = np.abs(np.asarray(got).reshape(-1)[:C] - fair).max()
+    err_biased = np.abs(np.asarray(got).reshape(-1)[:C] - biased).max()
+    assert min(err_fair, err_biased) < 5e-5, (got, fair, biased)

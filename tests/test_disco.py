@@ -93,3 +93,37 @@ def test_disco_constant_field_isotropy():
     # cancel on a constant field at mid-latitudes
     mid = in_shape[0] // 2
     assert np.abs(t[0, 0, 3, mid]).max() < np.abs(t[0, 0, 0, mid]).max() * 0.2
+
+
+@pytest.mark.parametrize("shapes", [((16, 32), (16, 32)), ((17, 36), (12, 24)), ((24, 48), (24, 48))])
+def test_fused_weight_path_matches_two_stage(shapes):
+    """DiscoConvS2.fused (weights pre-contracted into the conv filters) must
+    reproduce the two-stage responses-then-mix path, values and grads."""
+    in_shape, out_shape = shapes
+    kernel_shape = (3, 3)
+    conv = DiscoConvS2(in_shape, out_shape, kernel_shape, basis_type="morlet th", basis_norm_mode="mean")
+    K = conv.K
+    g, og, ig = 3, 2, 4
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, g * ig, *in_shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(g, og, ig, K).astype(np.float32) * 0.2)
+
+    def two_stage(x_, w_):
+        t = conv(x_)  # (B, C, K, Hout, Wout)
+        tg = t.reshape(t.shape[0], g, ig, K, *t.shape[-2:])
+        return jnp.einsum("bgikhw,goik->bgohw", tg, w_).reshape(t.shape[0], g * og, *t.shape[-2:])
+
+    import jax
+
+    y0 = np.asarray(two_stage(x, w), np.float64)
+    y1 = np.asarray(conv.fused(x, w), np.float64)
+    scale = np.abs(y0).max()
+    np.testing.assert_allclose(y1, y0, atol=3e-5 * scale, rtol=1e-4)
+
+    # gradients through both paths agree (w and x)
+    g0w = jax.grad(lambda ww: jnp.sum(jnp.sin(two_stage(x, ww))))(w)
+    g1w = jax.grad(lambda ww: jnp.sum(jnp.sin(conv.fused(x, ww))))(w)
+    np.testing.assert_allclose(np.asarray(g1w), np.asarray(g0w), atol=5e-4 * float(jnp.abs(g0w).max()))
+    g0x = jax.grad(lambda xx: jnp.sum(jnp.sin(two_stage(xx, w))))(x)
+    g1x = jax.grad(lambda xx: jnp.sum(jnp.sin(conv.fused(xx, w))))(x)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g0x), atol=5e-4 * float(jnp.abs(g0x).max()))

@@ -136,3 +136,31 @@ def test_two_process_ensemble_score_model(tmp_path):
     for k in ("rmse", "crps", "ssr"):
         assert multi[0][k] == pytest.approx(multi[1][k], rel=1e-6)
         assert multi[0][k] == pytest.approx(single[0][k], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_four_process_trainer_batch_h_split(tmp_path):
+    """4 OS processes x 2 devices: both the batch axis AND the latitude axis
+    span process boundaries (VERDICT r3 item 6: multihost beyond 2 procs)."""
+    multi = _run_world(4, str(tmp_path / "mh"))
+    single = _run_world(1, str(tmp_path / "sp"))
+
+    assert multi[0]["nproc"] == 4
+    for r in range(1, 4):
+        assert multi[0]["train_loss"] == pytest.approx(multi[r]["train_loss"], rel=1e-6)
+    assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
+    assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
+    assert multi[0]["rmse"] == pytest.approx(single[0]["rmse"], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_two_process_matmul_split(tmp_path):
+    """Megatron parameter (matmul) axis spanning the two processes: each host
+    holds half of the 4 parameter shards; parity with single-process."""
+    multi = _run_world(2, str(tmp_path / "mh"), mode="mm")
+    single = _run_world(1, str(tmp_path / "sp"), mode="mm")
+
+    assert multi[0]["nproc"] == 2
+    assert multi[0]["train_loss"] == pytest.approx(multi[1]["train_loss"], rel=1e-6)
+    assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
+    assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
