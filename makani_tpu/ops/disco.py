@@ -655,14 +655,17 @@ class DiscoConvS2:
         xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hout, g, ig, BL, Win)
 
         if self.polar_rows:
-            # polar rows need the un-fused responses (FFT path); compute their
-            # banded input slice once
+            # the few full-longitude polar rows reuse the same grouped-conv
+            # machinery with a window of Win (no FFT: at P ~ 5 rows the dense
+            # correlation is ~1 GFLOP, and the conv op tiles cleanly where
+            # the complex einsums lowered to pathologically-padded convs)
             rows = np.asarray(self.polar_rows)
-            xb_p = jnp.transpose(xb[:, rows], (0, 2, 3, 1, 4, 5))  # (B, g, ig, P, BL, Win)
+            P = len(rows)
+            xb_p = xb[:, rows]  # (B, P, g, ig, BL, Win)
             keep = np.ones((Hout,), np.float32)
             keep[rows] = 0.0
-            onehot = np.zeros((len(rows), Hout), np.float32)
-            onehot[np.arange(len(rows)), rows] = 1.0
+            onehot = np.zeros((P, Hout), np.float32)
+            onehot[np.arange(P), rows] = 1.0
 
         phase_outputs = []
         for p in range(b):
@@ -688,23 +691,23 @@ class DiscoConvS2:
             y_p = out.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
 
             if self.polar_rows:
-                from makani_tpu.ops import fft_compat
-
-                Xs = fft_compat.rfft_s(xb_p.astype(jnp.float32), axis=-1)  # (B,g,ig,P,BL,M,2)
-                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)
-                psi_p = psi_p[:, :]  # (K, P, BL, Win)
-                Ps = fft_compat.rfft_s(jnp.asarray(psi_p), axis=-1)  # (K,P,BL,M,2)
-                re = jnp.einsum("bgipjm,kpjm->bgikpm", Xs[..., 0], Ps[..., 0]) + jnp.einsum(
-                    "bgipjm,kpjm->bgikpm", Xs[..., 1], Ps[..., 1]
-                )
-                im = jnp.einsum("bgipjm,kpjm->bgikpm", Xs[..., 1], Ps[..., 0]) - jnp.einsum(
-                    "bgipjm,kpjm->bgikpm", Xs[..., 0], Ps[..., 1]
-                )
-                corr = fft_compat.irfft_s(jnp.stack([re, im], axis=-1), n=Win, axis=-1, norm="backward")
-                cols = (np.arange(n_out_p) * a) % Win
-                t_pp = corr[..., cols]  # (B, g, ig, K, P, n_out_p)
-                y_pp = jnp.einsum("bgikpw,goik->bgopw", t_pp, w.astype(t_pp.dtype))
-                y_pp = y_pp.reshape(B, g * og, len(self.polar_rows), n_out_p)
+                # circular correlation over the full longitude as a strided
+                # VALID grouped conv: pad the input by one extra period
+                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)
+                filt_p = jnp.einsum("goik,kpjw->pgoijw", w.astype(jnp.float32), jnp.asarray(psi_p))
+                filt_p = filt_p.reshape(P * g * og, ig * BL, Win).astype(cdt)
+                need_p = (n_out_p - 1) * a + Win
+                xsp = jnp.concatenate([xb_p, xb_p[..., : need_p - Win]], axis=-1)
+                inp_p = xsp.reshape(B, P * g * ig * BL, need_p).astype(cdt)
+                out_p = jax.lax.conv_general_dilated(
+                    inp_p,
+                    filt_p,
+                    window_strides=(a,),
+                    padding="VALID",
+                    dimension_numbers=("NCW", "OIW", "NCW"),
+                    feature_group_count=P * g,
+                )  # (B, P*g*og, n_out_p)
+                y_pp = out_p.reshape(B, P, g * og, n_out_p).transpose(0, 2, 1, 3)
                 y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
                     "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
                 )
