@@ -224,6 +224,97 @@ class OnnxGraphExecutor:
     def op_Not(self, inputs, attrs):
         return [_xp(*inputs).logical_not(inputs[0])]
 
+    def op_And(self, inputs, attrs):
+        return [_xp(*inputs).logical_and(inputs[0], inputs[1])]
+
+    def op_Or(self, inputs, attrs):
+        return [_xp(*inputs).logical_or(inputs[0], inputs[1])]
+
+    def op_Xor(self, inputs, attrs):
+        return [_xp(*inputs).logical_xor(inputs[0], inputs[1])]
+
+    def op_GreaterOrEqual(self, inputs, attrs):
+        return [_xp(*inputs).greater_equal(inputs[0], inputs[1])]
+
+    def op_LessOrEqual(self, inputs, attrs):
+        return [_xp(*inputs).less_equal(inputs[0], inputs[1])]
+
+    def op_Sign(self, inputs, attrs):
+        return [_xp(*inputs).sign(inputs[0])]
+
+    def op_PRelu(self, inputs, attrs):
+        x, slope = inputs
+        xp = _xp(x, slope)
+        return [xp.where(x >= 0, x, x * slope)]
+
+    def op_Selu(self, inputs, attrs):
+        a = attrs.get("alpha", 1.67326319217681884765625)
+        g = attrs.get("gamma", 1.05070102214813232421875)
+        x = jnp.asarray(inputs[0])
+        return [g * jnp.where(x > 0, x, a * (jnp.exp(x) - 1.0))]
+
+    def op_Mish(self, inputs, attrs):
+        x = jnp.asarray(inputs[0])
+        return [x * jnp.tanh(jax.nn.softplus(x))]
+
+    def op_Sinh(self, inputs, attrs):
+        return [_xp(*inputs).sinh(inputs[0])]
+
+    def op_Cosh(self, inputs, attrs):
+        return [_xp(*inputs).cosh(inputs[0])]
+
+    def op_Tan(self, inputs, attrs):
+        return [_xp(*inputs).tan(inputs[0])]
+
+    def op_Atan(self, inputs, attrs):
+        return [_xp(*inputs).arctan(inputs[0])]
+
+    def op_LogSoftmax(self, inputs, attrs):
+        axis = attrs.get("axis", -1)
+        return [jax.nn.log_softmax(jnp.asarray(inputs[0]), axis=axis)]
+
+    def op_CumSum(self, inputs, attrs):
+        x = inputs[0]
+        axis = int(np.asarray(inputs[1]))
+        if attrs.get("exclusive", 0) or attrs.get("reverse", 0):
+            xj = jnp.asarray(x)
+            if attrs.get("reverse", 0):
+                xj = jnp.flip(xj, axis)
+            out = jnp.cumsum(xj, axis=axis)
+            if attrs.get("exclusive", 0):
+                out = out - xj
+            if attrs.get("reverse", 0):
+                out = jnp.flip(out, axis)
+            return [out]
+        return [_xp(x).cumsum(x, axis=axis)]
+
+    def op_ArgMax(self, inputs, attrs):
+        x = inputs[0]
+        axis = attrs.get("axis", 0)
+        keep = bool(attrs.get("keepdims", 1))
+        xp = _xp(x)
+        out = xp.argmax(x, axis=axis)
+        if keep:
+            out = xp.expand_dims(out, axis)
+        return [out.astype(np.int64) if xp is np else out.astype(jnp.int64)]
+
+    def op_ArgMin(self, inputs, attrs):
+        x = inputs[0]
+        axis = attrs.get("axis", 0)
+        keep = bool(attrs.get("keepdims", 1))
+        xp = _xp(x)
+        out = xp.argmin(x, axis=axis)
+        if keep:
+            out = xp.expand_dims(out, axis)
+        return [out.astype(np.int64) if xp is np else out.astype(jnp.int64)]
+
+    def op_Trilu(self, inputs, attrs):
+        x = inputs[0]
+        k = int(np.asarray(inputs[1])) if len(inputs) > 1 and inputs[1] is not None else 0
+        upper = bool(attrs.get("upper", 1))
+        xp = _xp(x)
+        return [xp.triu(x, k) if upper else xp.tril(x, k)]
+
     def op_Floor(self, inputs, attrs):
         return [_xp(*inputs).floor(inputs[0])]
 

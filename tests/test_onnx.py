@@ -363,3 +363,94 @@ def test_fp16_bf16_typed_field_initializers():
     # raw_data fp16 path still exact
     tr = op.TensorProto(name="wr", dims=(4,), data_type=10, raw_data=vals.tobytes())
     np.testing.assert_array_equal(tr.to_numpy(), vals)
+
+
+def test_logical_comparison_and_misc_ops_vs_torch():
+    """And/Or/Xor, ordered comparisons, Sign, PRelu, Selu, Mish, hyperbolic
+    trig, LogSoftmax, CumSum variants, ArgMax/ArgMin, Trilu — parity vs
+    torch reference semantics on authored graphs."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(3, 5).astype(np.float32)
+    y = rng.randn(3, 5).astype(np.float32)
+    slope = np.asarray([0.1], np.float32)
+
+    cases = [
+        ("Greater", dict(), [x, y], (x > y)),
+        ("GreaterOrEqual", dict(), [x, y], (x >= y)),
+        ("LessOrEqual", dict(), [x, y], (x <= y)),
+        ("Sign", dict(), [x], np.sign(x)),
+        ("Selu", dict(), [x], torch.nn.functional.selu(torch.from_numpy(x)).numpy()),
+        ("Mish", dict(), [x], torch.nn.functional.mish(torch.from_numpy(x)).numpy()),
+        ("Sinh", dict(), [x], np.sinh(x)),
+        ("Cosh", dict(), [x], np.cosh(x)),
+        ("Tan", dict(), [x], np.tan(x)),
+        ("Atan", dict(), [x], np.arctan(x)),
+        ("LogSoftmax", dict(axis=1), [x], torch.log_softmax(torch.from_numpy(x), dim=1).numpy()),
+        ("ArgMax", dict(axis=1, keepdims=1), [x], np.argmax(x, axis=1)[:, None]),
+        ("ArgMin", dict(axis=0, keepdims=0), [x], np.argmin(x, axis=0)),
+    ]
+    for op_name, attrs, ins, expect in cases:
+        in_names = [f"i{k}" for k in range(len(ins))]
+        g = op.make_graph(
+            nodes=[op.make_node(op_name, in_names, ["out"], **attrs)],
+            name="g",
+            inputs=[(n, F32, tuple(a.shape)) for n, a in zip(in_names, ins)],
+            outputs=[("out", F32, ())],
+        )
+        (got,) = _run(op.save_model(op.make_model(g)), dict(zip(in_names, [jnp.asarray(a) for a in ins])))
+        np.testing.assert_allclose(np.asarray(got, np.float64), np.asarray(expect, np.float64), rtol=1e-5, atol=1e-6, err_msg=op_name)
+
+    # binary logicals on bools
+    bx, by = x > 0, y > 0
+    for op_name, expect in [("And", bx & by), ("Or", bx | by), ("Xor", bx ^ by)]:
+        g = op.make_graph(
+            nodes=[op.make_node(op_name, ["a", "b"], ["out"])],
+            name="g",
+            inputs=[("a", 9, bx.shape), ("b", 9, by.shape)],
+            outputs=[("out", 9, ())],
+        )
+        (got,) = _run(op.save_model(op.make_model(g)), {"a": jnp.asarray(bx), "b": jnp.asarray(by)})
+        np.testing.assert_array_equal(got, expect, err_msg=op_name)
+
+    # PRelu broadcast slope
+    g = op.make_graph(
+        nodes=[op.make_node("PRelu", ["x", "s"], ["out"])],
+        name="g",
+        inputs=[("x", F32, x.shape)],
+        outputs=[("out", F32, ())],
+        initializers=[("s", slope)],
+    )
+    (got,) = _run(op.save_model(op.make_model(g)), {"x": jnp.asarray(x)})
+    expect = torch.nn.functional.prelu(torch.from_numpy(x), torch.from_numpy(slope)).numpy()
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+    # CumSum exclusive/reverse and Trilu
+    for excl, rev in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        g = op.make_graph(
+            nodes=[op.make_node("CumSum", ["x", "ax"], ["out"], exclusive=excl, reverse=rev)],
+            name="g",
+            inputs=[("x", F32, x.shape)],
+            outputs=[("out", F32, ())],
+            initializers=[("ax", np.asarray(1, np.int64))],
+        )
+        (got,) = _run(op.save_model(op.make_model(g)), {"x": jnp.asarray(x)})
+        ref = x[:, ::-1] if rev else x
+        ref = np.cumsum(ref, axis=1)
+        if excl:
+            ref = ref - (x[:, ::-1] if rev else x)
+        if rev:
+            ref = ref[:, ::-1]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6, err_msg=f"cumsum excl={excl} rev={rev}")
+
+    m = rng.randn(4, 4).astype(np.float32)
+    for upper, k in [(1, 0), (0, 0), (1, 1), (0, -1)]:
+        g = op.make_graph(
+            nodes=[op.make_node("Trilu", ["x", "k"], ["out"], upper=upper)],
+            name="g",
+            inputs=[("x", F32, m.shape)],
+            outputs=[("out", F32, ())],
+            initializers=[("k", np.asarray(k, np.int64))],
+        )
+        (got,) = _run(op.save_model(op.make_model(g)), {"x": jnp.asarray(m)})
+        expect = np.triu(m, k) if upper else np.tril(m, k)
+        np.testing.assert_array_equal(got, expect)
