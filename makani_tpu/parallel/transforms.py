@@ -85,6 +85,25 @@ class _DistBase:
     def _spec(self, *dims) -> P:
         return P(*dims)
 
+    def _with_ch_pad(self, fn, x, ch_in: int, ch_out: int):
+        """Pad the channel axis to a multiple of the w axis around ``fn``.
+
+        The Ulysses stages all_to_all over channels, which requires
+        C % w == 0; channels are per-model quantities (e.g. FCN3's 677-wide
+        processor state) with no such guarantee. Padded channels are zeros
+        through the (per-channel linear) transform and sliced off after.
+        """
+        C = x.shape[ch_in]
+        rem = (-C) % self.w_size
+        if rem == 0:
+            return fn(x)
+        pad = [(0, 0)] * x.ndim
+        pad[ch_in % x.ndim] = (0, rem)
+        y = fn(jnp.pad(x, pad))
+        idx = [slice(None)] * y.ndim
+        idx[ch_out % y.ndim] = slice(0, C)
+        return y[tuple(idx)]
+
     def _shard(self, f, in_specs, out_specs):
         # fully-manual shard_map over every mesh axis (partial-manual requires
         # Explicit axis types, unsupported for Auto meshes in jax 0.9): the
@@ -176,14 +195,14 @@ class DistributedRealSHT(_DistBase):
 
     def analysis(self, x):
         """Split-complex analysis: real field -> (..., L_pad, M_pad, 2)."""
-        return self._fn(x, self._table)
+        return self._with_ch_pad(lambda v: self._fn(v, self._table), x, 1, 1)
 
     def analysis_cl(self, x):
         """Channels-last analysis: (..., K_pad, W, C) -> (..., L_pad, M_pad, C, 2)."""
-        return self._fn_cl(x, self._table)
+        return self._with_ch_pad(lambda v: self._fn_cl(v, self._table), x, -1, -2)
 
     def __call__(self, x):
-        return fft_compat.to_complex(self._fn(x, self._table))
+        return fft_compat.to_complex(self.analysis(x))
 
 
 class DistributedInverseRealSHT(_DistBase):
@@ -251,14 +270,14 @@ class DistributedInverseRealSHT(_DistBase):
 
     def synthesis(self, c2):
         """Split-complex synthesis: (..., L_pad, M_pad, 2) -> real field."""
-        return self._fn(c2, self._table)
+        return self._with_ch_pad(lambda v: self._fn(v, self._table), c2, 1, 1)
 
     def synthesis_cl(self, c2):
         """Channels-last synthesis: (..., L_pad, M_pad, C, 2) -> (..., K_pad, W, C)."""
-        return self._fn_cl(c2, self._table)
+        return self._with_ch_pad(lambda v: self._fn_cl(v, self._table), c2, -2, -1)
 
     def __call__(self, c):
-        return self._fn(fft_compat.from_complex(c), self._table)
+        return self.synthesis(fft_compat.from_complex(c))
 
 
 class DistributedRealFFT2(_DistBase):
@@ -337,14 +356,14 @@ class DistributedRealFFT2(_DistBase):
         )
 
     def analysis(self, x):
-        return self._fn(x)
+        return self._with_ch_pad(self._fn, x, 1, 1)
 
     def analysis_cl(self, x):
         """Channels-last: (..., K, W, C) -> (..., L_pad, M_pad, C, 2)."""
-        return self._fn_cl(x)
+        return self._with_ch_pad(self._fn_cl, x, -1, -2)
 
     def __call__(self, x):
-        return fft_compat.to_complex(self._fn(x))
+        return fft_compat.to_complex(self.analysis(x))
 
 
 class DistributedInverseRealFFT2(_DistBase):
@@ -418,11 +437,11 @@ class DistributedInverseRealFFT2(_DistBase):
         )
 
     def synthesis(self, c2):
-        return self._fn(c2)
+        return self._with_ch_pad(self._fn, c2, 1, 1)
 
     def synthesis_cl(self, c2):
         """Channels-last: (..., L_pad, M_pad, C, 2) -> (..., K, W, C)."""
-        return self._fn_cl(c2)
+        return self._with_ch_pad(self._fn_cl, c2, -2, -1)
 
     def __call__(self, c):
-        return self._fn(fft_compat.from_complex(c))
+        return self.synthesis(fft_compat.from_complex(c))

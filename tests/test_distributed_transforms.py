@@ -244,3 +244,39 @@ def test_distributed_sht_cl_gradients_match_serial():
     g_ref = np.asarray(jax.grad(lambda y: jnp.sum(sht.analysis_cl(y) ** 2))(jnp.asarray(x)))
     g_out = np.asarray(jax.grad(lambda y: jnp.sum(dsht.analysis_cl(y) ** 2))(jnp.asarray(xpad)))
     np.testing.assert_allclose(g_out[:, :nlat], g_ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("cfg", [dict(h=2, w=2), dict(h=1, w=4)], ids=lambda c: f"h{c['h']}w{c['w']}")
+def test_distributed_sht_odd_channel_count(cfg):
+    """C not divisible by w (FCN3's 677-wide processor state): the Ulysses
+    channel all_to_all must pad transparently, both layouts, fwd + synthesis."""
+    init_mesh(**cfg)
+    nlat, nlon, lmax = 24, 48, 20
+    mmax = lmax
+    B, C = 2, 7  # 7 % 4 != 0, 7 % 2 != 0
+
+    sht = RealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+    dsht = DistributedRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+    disht = DistributedInverseRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss")
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(B, C, nlat, nlon).astype(np.float32)
+
+    ref = np.asarray(sht(x))
+    out = np.asarray(dsht(jnp.asarray(x)))
+    np.testing.assert_allclose(out[..., :lmax, :mmax], ref, atol=1e-4)
+
+    # channels-last analysis
+    xcl = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    out_cl = np.asarray(dsht.analysis_cl(xcl))  # (B, L, M, C, 2)
+    np.testing.assert_allclose(
+        out_cl[..., :lmax, :mmax, :, 0].transpose(0, 3, 1, 2), ref.real, atol=1e-4
+    )
+
+    # synthesis round trip
+    c2 = dsht.analysis(jnp.asarray(x))
+    back = np.asarray(disht.synthesis(c2))
+    ref_back = np.asarray(InverseRealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss").synthesis(
+        np.asarray(RealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid="legendre-gauss").analysis(x))
+    ))
+    np.testing.assert_allclose(back[..., :nlat, :], ref_back, atol=1e-4)
