@@ -251,10 +251,15 @@ def main():
                 # relay has been seen to drop device_put's custom layouts
                 # (silently), while compiled-program OUTPUT layouts are the
                 # same mechanism the train step itself relies on
-                relayout = jax.jit(lambda t: t, out_shardings=tuple(fmts))
-                carry0, carry1, x_l, tar_l, zen_l = relayout(
-                    (model_params, opt_state, x, tar, zen)
-                )
+                # donate the train state into its new layouts: at 0.25 deg the
+                # un-donated relayout transiently doubles the whole state and
+                # OOMs. x/tar/zen are NOT donated — the fallback path reuses
+                # them (state it rebuilds from scratch).
+                relayout_state = jax.jit(lambda t: t, out_shardings=tuple(fmts[:2]), donate_argnums=(0,))
+                carry0, carry1 = relayout_state((model_params, opt_state))
+                model_params = opt_state = None
+                relayout_data = jax.jit(lambda t: t, out_shardings=tuple(fmts[2:]))
+                x_l, tar_l, zen_l = relayout_data((x, tar, zen))
                 carry_l = (carry0, carry1)
                 # probe one call end-to-end (including the loss fetch): the
                 # relay's device_put has been seen to drop custom layouts,
@@ -267,6 +272,10 @@ def main():
                 warmup = max(warmup - 1, 0)  # the probe was one warmup step
             except Exception as e:
                 print(f"# auto-layout unavailable ({type(e).__name__}: {e}); falling back", file=sys.stderr)
+                # free every AUTO-path buffer before the fallback rebuilds
+                # state: at 0.25 deg the leftover relayout copies otherwise
+                # OOM the fallback run
+                carry0 = carry1 = x_l = tar_l = zen_l = carry_l = compiled = fmts = jitted = None  # noqa: F841
         if train_step is None:
             train_step = jax.jit(_train_step, donate_argnums=(0, 1))
             # the probe may have donated the original buffers; rebuild state
