@@ -675,20 +675,23 @@ class DiscoConvS2:
             needed = (n_out_p - 1) * a + self.WW
             if needed > Win:
                 xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
-            inp = xs.reshape(B, Hout * g * ig * BL, xs.shape[-1]).astype(cdt)
+            # NWC layout: the grouped conv wants its (small per-group) feature
+            # dim minormost — authored NCW, XLA inserted a relayout copy with
+            # 3.5x tile padding (10 GB at the 0.5-deg decoder, the B=2 OOM)
+            inp = jnp.transpose(xs, (0, 5, 1, 2, 3, 4)).reshape(B, xs.shape[-1], Hout * g * ig * BL).astype(cdt)
             # effective filter: psi contracted with the learned weights
             psi = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
-            filt = jnp.einsum("goik,khjw->hgoijw", w.astype(jnp.float32), psi)
-            filt = filt.reshape(Hout * g * og, ig * BL, self.WW).astype(cdt)
+            filt = jnp.einsum("goik,khjw->whgoij", w.astype(jnp.float32), psi)
+            filt = filt.reshape(self.WW, Hout * g * og, ig * BL).transpose(0, 2, 1).astype(cdt)
             out = jax.lax.conv_general_dilated(
                 inp,
                 filt,
                 window_strides=(a,),
                 padding="VALID",
-                dimension_numbers=("NCW", "OIW", "NCW"),
+                dimension_numbers=("NWC", "WIO", "NWC"),
                 feature_group_count=Hout * g,
-            )  # (B, Hout*g*og, n_out_p)
-            y_p = out.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
+            )  # (B, n_out_p, Hout*g*og)
+            y_p = out.reshape(B, n_out_p, Hout, g * og).transpose(0, 3, 2, 1)  # (B, Cout, Hout, n_out_p)
 
             if self.polar_rows:
                 # circular correlation over the full longitude as a strided
