@@ -635,12 +635,15 @@ class DiscoConvS2:
         -> y (B, g*og, Hout, Wout).
 
         Pre-contracts the learned weights with the psi tables so the
-        (B, C, K, Hout, Wout) basis-response tensor never materializes — the
-        banded conv maps (ig * BL) window features directly to the og output
-        channels per latitude. Only worthwhile for the channel-grouped
-        encoders/decoders where g * og * ig is small (the effective filter is
-        (Hout * g * og, ig * BL, WW)); processor blocks with full channel
-        mixing keep the two-stage path.
+        (B, C, K, Hout, Wout) basis-response tensor never materializes, and
+        decomposes the latitude band into BL shifted-row grouped convs so
+        the BL-duplicated window gather never materializes either (XLA's
+        relayout of that gather cost 10 GB at the 0.5-deg decoder). Each
+        band row j is a lat-gather of x (same bytes as x) followed by a
+        per-latitude grouped lon conv in NWC (small per-group features stay
+        minormost); the BL partial outputs sum. Only used for the
+        channel-grouped encoders/decoders (g * og * ig small); processor
+        blocks keep the two-stage path.
         """
         B = x.shape[0]
         g, og, ig, K = w.shape
@@ -650,18 +653,16 @@ class DiscoConvS2:
         Win = x.shape[-1]
         cdt = self.compute_dtype
 
-        band_rows = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
-        xb = x[:, :, band_rows.reshape(-1), :].reshape(B, g, ig, Hout, BL, Win)
-        xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hout, g, ig, BL, Win)
+        xg = x.reshape(B, g, ig, x.shape[-2], Win)
 
         if self.polar_rows:
-            # the few full-longitude polar rows reuse the same grouped-conv
-            # machinery with a window of Win (no FFT: at P ~ 5 rows the dense
-            # correlation is ~1 GFLOP, and the conv op tiles cleanly where
-            # the complex einsums lowered to pathologically-padded convs)
+            # the few full-longitude polar rows keep the dense banded window
+            # (tiny: P rows) and run as a full-window grouped conv
             rows = np.asarray(self.polar_rows)
             P = len(rows)
-            xb_p = xb[:, rows]  # (B, P, g, ig, BL, Win)
+            band_rows_p = self.band_start[rows][:, None] + np.arange(BL)[None, :]  # (P, BL)
+            xb_p = xg[:, :, :, band_rows_p.reshape(-1), :].reshape(B, g, ig, P, BL, Win)
+            xb_p = jnp.transpose(xb_p, (0, 3, 1, 2, 4, 5))  # (B, P, g, ig, BL, Win)
             keep = np.ones((Hout,), np.float32)
             keep[rows] = 0.0
             onehot = np.zeros((P, Hout), np.float32)
@@ -670,28 +671,30 @@ class DiscoConvS2:
         phase_outputs = []
         for p in range(b):
             base = int(self.bases[p])
-            xs = jnp.roll(xb, -(base - halo), axis=-1)
+            xs = jnp.roll(xg, -(base - halo), axis=-1)
             n_out_p = Wout // b
             needed = (n_out_p - 1) * a + self.WW
             if needed > Win:
                 xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
-            # NWC layout: the grouped conv wants its (small per-group) feature
-            # dim minormost — authored NCW, XLA inserted a relayout copy with
-            # 3.5x tile padding (10 GB at the 0.5-deg decoder, the B=2 OOM)
-            inp = jnp.transpose(xs, (0, 5, 1, 2, 3, 4)).reshape(B, xs.shape[-1], Hout * g * ig * BL).astype(cdt)
-            # effective filter: psi contracted with the learned weights
             psi = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
-            filt = jnp.einsum("goik,khjw->whgoij", w.astype(jnp.float32), psi)
-            filt = filt.reshape(self.WW, Hout * g * og, ig * BL).transpose(0, 2, 1).astype(cdt)
-            out = jax.lax.conv_general_dilated(
-                inp,
-                filt,
-                window_strides=(a,),
-                padding="VALID",
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=Hout * g,
-            )  # (B, n_out_p, Hout*g*og)
-            y_p = out.reshape(B, n_out_p, Hout, g * og).transpose(0, 3, 2, 1)  # (B, Cout, Hout, n_out_p)
+
+            y_acc = None
+            for j in range(BL):
+                rows_j = self.band_start + j  # (Hout,) rows of band position j
+                xj = xs[:, :, :, rows_j, :]  # (B, g, ig, Hout, W')
+                inp = jnp.transpose(xj, (0, 4, 3, 1, 2)).reshape(B, xs.shape[-1], Hout * g * ig).astype(cdt)
+                filt = jnp.einsum("goik,khw->whgoi", w.astype(jnp.float32), psi[:, :, j])
+                filt = jnp.transpose(filt.reshape(self.WW, Hout * g * og, ig), (0, 2, 1)).astype(cdt)
+                out = jax.lax.conv_general_dilated(
+                    inp,
+                    filt,
+                    window_strides=(a,),
+                    padding="VALID",
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    feature_group_count=Hout * g,
+                )  # (B, n_out_p, Hout*g*og)
+                y_acc = out if y_acc is None else y_acc + out
+            y_p = y_acc.reshape(B, n_out_p, Hout, g * og).transpose(0, 3, 2, 1)  # (B, Cout, Hout, n_out_p)
 
             if self.polar_rows:
                 # circular correlation over the full longitude as a strided
