@@ -20,6 +20,7 @@ The DISCO contractions ride the TPU-native structured op
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -76,6 +77,19 @@ class DiscoConv(nn.Module):
         # the (B, C, K, Hout, Wout) response tensor never materializes
         if getattr(self.conv_op, "supports_fused", False) and g * cout_g * cin_g <= 4096:
             y = self.conv_op.fused(xin.astype(cdt), w)
+            if self.channels_last:
+                y = jnp.transpose(y, (0, 2, 3, 1))
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+                y = y + (bias if self.channels_last else bias[None, :, None, None])
+            return y.astype(x.dtype)
+
+        # mix-first path for full-channel-mixing convs (processor blocks):
+        # channel mixing runs before the basis convs under a scan over k, so
+        # the (B, C, K, H, W) response tensor never materializes (same FLOPs;
+        # ops/disco.py mix_first). MAKANI_DISCO_MIX_FIRST=0 reverts.
+        if getattr(self.conv_op, "supports_fused", False) and os.environ.get("MAKANI_DISCO_MIX_FIRST", "1") == "1":
+            y = self.conv_op.mix_first(xin.astype(cdt), w)
             if self.channels_last:
                 y = jnp.transpose(y, (0, 2, 3, 1))
             if self.use_bias:

@@ -721,3 +721,101 @@ class DiscoConvS2:
 
         y = jnp.stack(phase_outputs, axis=-1)  # (B, Cout, Hout, n_out_p, b)
         return y.reshape(B, g * og, Hout, Wout)
+
+    def mix_first(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Mix-first DISCO conv: x (B, g*ig, Hin, Win), w (g, og, ig, K)
+        -> y (B, g*og, Hout, Wout).
+
+        Reassociates the convolution as y = sum_k psi_k * (W_k x): the
+        channel mixing runs FIRST, per basis function, under a lax.scan over
+        k. The (B, C, K, Hout, Wout) basis-response tensor of the two-stage
+        path never materializes, and because psi is a constant the scan VJP
+        keeps only x and the small W_k as residuals — peak memory is
+        O(B*C*H*W) instead of K times that. FLOPs are identical to the
+        two-stage path (the k-sum moves from the weight contraction into the
+        output accumulator). This is the path for full-channel-mixing
+        processor convs, where g*og*ig is far too large to pre-contract the
+        weights into the psi tables (`fused`); at the published FCN3 recipe
+        the two-stage residuals were 7 x 1.5 GB of the B=2 OOM.
+        """
+        B = x.shape[0]
+        g, og, ig, K = w.shape
+        Cp = g * og
+        Hout, Wout = self.out_shape
+        BL, halo = self.BL, self.halo
+        a, b = self.stride, self.phases
+        Win = x.shape[-1]
+        cdt = self.compute_dtype
+        n_out_p = Wout // b
+
+        xg = x.reshape(B, g, ig, x.shape[-2], Win).astype(cdt)
+        wk = jnp.transpose(w, (3, 0, 1, 2)).astype(cdt)  # (K, g, og, ig)
+        psi_band = jnp.asarray(self.psi_band).transpose(1, 0, 2, 3, 4)  # (K, b, Hout, BL, WW)
+        band_rows = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
+
+        if self.polar_rows:
+            rows = np.asarray(self.polar_rows)
+            P = len(rows)
+            # roll offsets to absolute per phase (as __call__), stack k-major
+            psi_pol = np.stack(
+                [np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1) for p in range(b)], axis=1
+            )  # (K, b, P, BL, Win)
+            psi_pol = jnp.asarray(psi_pol)
+            keep = np.ones((Hout,), np.float32)
+            keep[rows] = 0.0
+            onehot = np.zeros((P, Hout), np.float32)
+            onehot[np.arange(P), rows] = 1.0
+
+        def body(acc, inp):
+            if self.polar_rows:
+                w_k, psib_k, psip_k = inp
+            else:
+                w_k, psib_k = inp
+            z = jnp.einsum("goi,bgihw->bgohw", w_k, xg).reshape(B, Cp, xg.shape[-2], Win)
+            zb = z[:, :, band_rows.reshape(-1), :].reshape(B, Cp, Hout, BL, Win)
+
+            phase_outputs = []
+            for p in range(b):
+                base = int(self.bases[p])
+                zs = jnp.roll(zb, -(base - halo), axis=-1)
+                needed = (n_out_p - 1) * a + self.WW
+                if needed > Win:
+                    zs = jnp.concatenate([zs, zs[..., : needed - Win]], axis=-1)
+                inp_c = zs.reshape(B * Cp, Hout * BL, zs.shape[-1])
+                filt = psib_k[p].astype(cdt)  # (Hout, BL, WW): one output feature per latitude group
+                out = jax.lax.conv_general_dilated(
+                    inp_c,
+                    filt,
+                    window_strides=(a,),
+                    padding="VALID",
+                    dimension_numbers=("NCW", "OIW", "NCW"),
+                    feature_group_count=Hout,
+                )  # (B*Cp, Hout, n_out_p)
+                t_p = out.reshape(B, Cp, Hout, n_out_p)
+
+                if self.polar_rows:
+                    from makani_tpu.ops import fft_compat
+
+                    zb_p = zb[:, :, rows]  # (B, Cp, P, BL, Win), polar rows stay fp32
+                    Xs = fft_compat.rfft_s(zb_p.astype(jnp.float32), axis=-1)
+                    Ps = fft_compat.rfft_s(psip_k[p].astype(jnp.float32), axis=-1)  # (P, BL, M, 2)
+                    re = jnp.einsum("bcpjm,pjm->bcpm", Xs[..., 0], Ps[..., 0]) + jnp.einsum(
+                        "bcpjm,pjm->bcpm", Xs[..., 1], Ps[..., 1]
+                    )
+                    im = jnp.einsum("bcpjm,pjm->bcpm", Xs[..., 1], Ps[..., 0]) - jnp.einsum(
+                        "bcpjm,pjm->bcpm", Xs[..., 0], Ps[..., 1]
+                    )
+                    corr = fft_compat.irfft_s(jnp.stack([re, im], axis=-1), n=Win, axis=-1, norm="backward")
+                    cols = (np.arange(n_out_p) * a) % Win
+                    t_pp = corr[..., cols]  # (B, Cp, P, n_out_p)
+                    t_p = t_p * jnp.asarray(keep, t_p.dtype)[None, None, :, None] + jnp.einsum(
+                        "ph,bcpw->bchw", jnp.asarray(onehot, t_p.dtype), t_pp.astype(t_p.dtype)
+                    )
+                phase_outputs.append(t_p)
+
+            t = jnp.stack(phase_outputs, axis=-1).reshape(B, Cp, Hout, Wout)
+            return acc + t.astype(jnp.float32), None
+
+        xs = (wk, psi_band, psi_pol) if self.polar_rows else (wk, psi_band)
+        y, _ = jax.lax.scan(body, jnp.zeros((B, Cp, Hout, Wout), jnp.float32), xs)
+        return y

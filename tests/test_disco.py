@@ -127,3 +127,56 @@ def test_fused_weight_path_matches_two_stage(shapes):
     g0x = jax.grad(lambda xx: jnp.sum(jnp.sin(two_stage(xx, w))))(x)
     g1x = jax.grad(lambda xx: jnp.sum(jnp.sin(conv.fused(xx, w))))(x)
     np.testing.assert_allclose(np.asarray(g1x), np.asarray(g0x), atol=5e-4 * float(jnp.abs(g0x).max()))
+
+
+@pytest.mark.parametrize("shapes", [((16, 32), (16, 32)), ((17, 36), (12, 24)), ((24, 48), (24, 48))])
+def test_mix_first_path_matches_two_stage(shapes):
+    """DiscoConvS2.mix_first (channel mixing before the basis convs, scanned
+    over k) must reproduce the two-stage path, values and grads — including
+    the polar FFT rows and multi-phase downsampling."""
+    import jax
+
+    in_shape, out_shape = shapes
+    conv = DiscoConvS2(in_shape, out_shape, (3, 3), basis_type="morlet th", basis_norm_mode="mean")
+    K = conv.K
+    g, og, ig = 2, 3, 4
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, g * ig, *in_shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(g, og, ig, K).astype(np.float32) * 0.2)
+
+    def two_stage(x_, w_):
+        t = conv(x_)
+        tg = t.reshape(t.shape[0], g, ig, K, *t.shape[-2:])
+        return jnp.einsum("bgikhw,goik->bgohw", tg, w_).reshape(t.shape[0], g * og, *t.shape[-2:])
+
+    y0 = np.asarray(two_stage(x, w), np.float64)
+    y1 = np.asarray(conv.mix_first(x, w), np.float64)
+    scale = np.abs(y0).max()
+    np.testing.assert_allclose(y1, y0, atol=3e-5 * scale, rtol=1e-4)
+
+    g0w = jax.grad(lambda ww: jnp.sum(jnp.sin(two_stage(x, ww))))(w)
+    g1w = jax.grad(lambda ww: jnp.sum(jnp.sin(conv.mix_first(x, ww))))(w)
+    np.testing.assert_allclose(np.asarray(g1w), np.asarray(g0w), atol=5e-4 * float(jnp.abs(g0w).max()))
+    g0x = jax.grad(lambda xx: jnp.sum(jnp.sin(two_stage(xx, w))))(x)
+    g1x = jax.grad(lambda xx: jnp.sum(jnp.sin(conv.mix_first(xx, w))))(x)
+    np.testing.assert_allclose(np.asarray(g1x), np.asarray(g0x), atol=5e-4 * float(jnp.abs(g0x).max()))
+
+
+def test_mix_first_scan_saves_no_per_k_fields():
+    """The scan VJP must not stash per-iteration (B, C, H, W) mixed fields:
+    psi is constant, so residuals are x and the (g, og, ig) weight slices.
+    Guard by inspecting the backward jaxpr for K-leading intermediates."""
+    conv = DiscoConvS2((16, 32), (16, 32), (3, 3), basis_type="piecewise linear", basis_norm_mode="mean")
+    K = conv.K
+    g, og, ig = 1, 6, 6
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, g * ig, 16, 32).astype(np.float32))
+    w = jnp.asarray(rng.randn(g, og, ig, K).astype(np.float32) * 0.2)
+
+    import jax
+
+    fn = lambda xx, ww: jnp.sum(jnp.square(conv.mix_first(xx, ww)))
+    jaxpr = jax.make_jaxpr(lambda xx, ww: jax.grad(fn, argnums=(0, 1))(xx, ww))(x, w)
+    # stacked per-k activations would appear as (K, B, C, H, W) = (K, 1, 6, 16, 32)
+    big = [v for eqn in jaxpr.jaxpr.eqns for v in eqn.outvars if hasattr(v, "aval") and v.aval.shape[:1] == (K,) and len(v.aval.shape) == 5 and v.aval.shape[1:] == (1, 6, 16, 32)]
+    assert not big, f"scan saved per-k field residuals: {[v.aval.shape for v in big]}"
