@@ -751,11 +751,11 @@ class DiscoConvS2:
         xg = x.reshape(B, g, ig, x.shape[-2], Win).astype(cdt)
         wk = jnp.transpose(w, (3, 0, 1, 2)).astype(cdt)  # (K, g, og, ig)
         psi_band = jnp.asarray(self.psi_band).transpose(1, 0, 2, 3, 4)  # (K, b, Hout, BL, WW)
-        band_rows = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
 
         if self.polar_rows:
             rows = np.asarray(self.polar_rows)
             P = len(rows)
+            band_rows_p = self.band_start[rows][:, None] + np.arange(BL)[None, :]  # (P, BL)
             # roll offsets to absolute per phase (as __call__), stack k-major
             psi_pol = np.stack(
                 [np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1) for p in range(b)], axis=1
@@ -772,31 +772,42 @@ class DiscoConvS2:
             else:
                 w_k, psib_k = inp
             z = jnp.einsum("goi,bgihw->bgohw", w_k, xg).reshape(B, Cp, xg.shape[-2], Win)
-            zb = z[:, :, band_rows.reshape(-1), :].reshape(B, Cp, Hout, BL, Win)
+            if self.polar_rows:
+                # tiny: P polar rows keep the dense banded window
+                zb_pol = z[:, :, band_rows_p.reshape(-1), :].reshape(B, Cp, P, BL, Win)
 
             phase_outputs = []
             for p in range(b):
                 base = int(self.bases[p])
-                zs = jnp.roll(zb, -(base - halo), axis=-1)
+                zs = jnp.roll(z, -(base - halo), axis=-1)
                 needed = (n_out_p - 1) * a + self.WW
                 if needed > Win:
                     zs = jnp.concatenate([zs, zs[..., : needed - Win]], axis=-1)
-                inp_c = zs.reshape(B * Cp, Hout * BL, zs.shape[-1])
-                filt = psib_k[p].astype(cdt)  # (Hout, BL, WW): one output feature per latitude group
-                out = jax.lax.conv_general_dilated(
-                    inp_c,
-                    filt,
-                    window_strides=(a,),
-                    padding="VALID",
-                    dimension_numbers=("NCW", "OIW", "NCW"),
-                    feature_group_count=Hout,
-                )  # (B*Cp, Hout, n_out_p)
-                t_p = out.reshape(B, Cp, Hout, n_out_p)
+                # band position j as a plain lat gather (same bytes as z)
+                # feeding a depthwise per-latitude lon conv; the BL partials
+                # sum. The one-shot (Hout, BL) window gather duplicated z
+                # BL-fold (two ~1.6 GB temps per scan step at the 0.5-deg
+                # processor blocks, the last 8 MB of the B=2 OOM).
+                t_p = None
+                for j in range(BL):
+                    rows_j = self.band_start + j  # (Hout,) rows of band position j
+                    zj = zs[:, :, rows_j, :].reshape(B * Cp, Hout, zs.shape[-1])
+                    filt = psib_k[p][:, j : j + 1, :].astype(cdt)  # (Hout, 1, WW)
+                    out = jax.lax.conv_general_dilated(
+                        zj,
+                        filt,
+                        window_strides=(a,),
+                        padding="VALID",
+                        dimension_numbers=("NCW", "OIW", "NCW"),
+                        feature_group_count=Hout,
+                    )  # (B*Cp, Hout, n_out_p)
+                    t_p = out if t_p is None else t_p + out
+                t_p = t_p.reshape(B, Cp, Hout, n_out_p)
 
                 if self.polar_rows:
                     from makani_tpu.ops import fft_compat
 
-                    zb_p = zb[:, :, rows]  # (B, Cp, P, BL, Win), polar rows stay fp32
+                    zb_p = zb_pol  # (B, Cp, P, BL, Win), polar rows stay fp32
                     Xs = fft_compat.rfft_s(zb_p.astype(jnp.float32), axis=-1)
                     Ps = fft_compat.rfft_s(psip_k[p].astype(jnp.float32), axis=-1)  # (P, BL, M, 2)
                     re = jnp.einsum("bcpjm,pjm->bcpm", Xs[..., 0], Ps[..., 0]) + jnp.einsum(
