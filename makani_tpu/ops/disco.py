@@ -654,6 +654,12 @@ class DiscoConvS2:
         cdt = self.compute_dtype
 
         xg = x.reshape(B, g, ig, x.shape[-2], Win)
+        # channels-second layout (B, Hin, g*ig, Win) up front: every later
+        # move is then a well-tiled 2-D transpose. Transposing the 5-D
+        # (B, W, Hout, g, ig) view per band row instead left XLA with tiny
+        # (g, ig) minor dims whose (8,128) tiling padded 8.8x (a 5 GB temp
+        # at the 0.5-deg decoder, the B=2 blocker).
+        xh = jnp.transpose(x.reshape(B, g * ig, x.shape[-2], Win), (0, 2, 1, 3)).astype(cdt)
 
         if self.polar_rows:
             # the few full-longitude polar rows keep the dense banded window
@@ -671,7 +677,7 @@ class DiscoConvS2:
         phase_outputs = []
         for p in range(b):
             base = int(self.bases[p])
-            xs = jnp.roll(xg, -(base - halo), axis=-1)
+            xs = jnp.roll(xh, -(base - halo), axis=-1)
             n_out_p = Wout // b
             needed = (n_out_p - 1) * a + self.WW
             if needed > Win:
@@ -681,20 +687,20 @@ class DiscoConvS2:
             y_acc = None
             for j in range(BL):
                 rows_j = self.band_start + j  # (Hout,) rows of band position j
-                xj = xs[:, :, :, rows_j, :]  # (B, g, ig, Hout, W')
-                inp = jnp.transpose(xj, (0, 4, 3, 1, 2)).reshape(B, xs.shape[-1], Hout * g * ig).astype(cdt)
-                filt = jnp.einsum("goik,khw->whgoi", w.astype(jnp.float32), psi[:, :, j])
-                filt = jnp.transpose(filt.reshape(self.WW, Hout * g * og, ig), (0, 2, 1)).astype(cdt)
-                out = jax.lax.conv_general_dilated(
-                    inp,
-                    filt,
-                    window_strides=(a,),
-                    padding="VALID",
-                    dimension_numbers=("NWC", "WIO", "NWC"),
-                    feature_group_count=Hout * g,
-                )  # (B, n_out_p, Hout*g*og)
-                y_acc = out if y_acc is None else y_acc + out
-            y_p = y_acc.reshape(B, n_out_p, Hout, g * og).transpose(0, 3, 2, 1)  # (B, Cout, Hout, n_out_p)
+                xj = xs[:, rows_j].reshape(B, Hout, g, ig, xs.shape[-1])
+                # per-lat fused filter for this band row: (Hout, g, og, ig, WW)
+                filt = jnp.einsum("goik,khw->hgoiw", w.astype(jnp.float32), psi[:, :, j]).astype(cdt)
+                # WW-tap loop of strided slices + small-K einsums. A grouped
+                # conv here (feature_group_count=Hout*g) made XLA materialize
+                # the unfolded window operand with the WW=9 tap dim minormost
+                # — (8,128)-tiled to 128, an 8.8x-padded 5 GB temp at the
+                # 0.5-deg decoder. The tap slices are views of xs and each
+                # einsum is a well-tiled batched matmul over ig.
+                for t in range(self.WW):
+                    zt = xj[..., t : t + (n_out_p - 1) * a + 1 : a]  # (B, Hout, g, ig, n_out_p)
+                    out = jnp.einsum("bhgiu,hgoi->bhgou", zt, filt[..., t])
+                    y_acc = out if y_acc is None else y_acc + out
+            y_p = y_acc.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
 
             if self.polar_rows:
                 # circular correlation over the full longitude as a strided
