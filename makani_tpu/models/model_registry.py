@@ -107,8 +107,29 @@ def count_channels(params, preprocessor: Preprocessor2D):
     return n_in, n_out
 
 
+def normalize_resampled_shapes(params):
+    """Fold reference-style resampled shape keys into ``img_shape_{x,y}``.
+
+    The reference's loader keeps the native grid in ``img_shape_{x,y}`` and
+    the model grid in ``img_shape_{x,y}_resampled`` when ``subsampling_factor``
+    > 1 (ref data_loader_multifiles.py:475-482, YParams.py:118
+    ensure_resampled_shapes); its model builders consume the resampled pair
+    (ref model_registry.py:167-170). This repo's single-name convention is
+    that ``img_shape_{x,y}`` IS the model grid (the loader subsamples before
+    publishing it), so configs written by the reference — model packages,
+    converted checkpoints — must have the resampled values folded in before
+    a model is built. A no-op for configs without the resampled keys.
+    """
+    for axis in ("x", "y"):
+        rs = params.get(f"img_shape_{axis}_resampled")
+        if rs is not None:
+            params[f"img_shape_{axis}"] = int(rs)
+    return params
+
+
 def get_model(params, multistep: bool = False):
     """Build (wrapper_module, preprocessor) from a params object."""
+    normalize_resampled_shapes(params)
     nettype = params.get("nettype", "SFNO")
     handle = get_model_handle(nettype)
 
