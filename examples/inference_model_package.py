@@ -65,7 +65,13 @@ def main(argv=None):
     ap.add_argument("--channel", default="u10m", help="channel to plot")
     ap.add_argument("--out", default="package_inference_out", help="output directory for plots")
     ap.add_argument("--demo", action="store_true", help="self-contained demo on synthetic data")
+    ap.add_argument("--platform", default=None, help="force a jax platform (e.g. 'cpu' for CI; the sandbox's axon plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(args.out, exist_ok=True)
 
