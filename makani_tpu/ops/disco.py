@@ -43,6 +43,7 @@ All tables are float64-precomputed numpy, stored fp32.
 from __future__ import annotations
 
 import math
+import os as _os
 from functools import lru_cache
 from typing import Tuple
 
@@ -634,17 +635,111 @@ class DiscoConvS2:
         """Weight-fused DISCO conv: x (B, g*ig, Hin, Win), w (g, og, ig, K)
         -> y (B, g*og, Hout, Wout).
 
-        Pre-contracts the learned weights with the psi tables so the
-        (B, C, K, Hout, Wout) basis-response tensor never materializes, and
-        decomposes the latitude band into BL shifted-row grouped convs so
-        the BL-duplicated window gather never materializes either (XLA's
-        relayout of that gather cost 10 GB at the 0.5-deg decoder). Each
-        band row j is a lat-gather of x (same bytes as x) followed by a
-        per-latitude grouped lon conv in NWC (small per-group features stay
-        minormost); the BL partial outputs sum. Only used for the
-        channel-grouped encoders/decoders (g * og * ig small); processor
-        blocks keep the two-stage path.
+        Dispatches between two formulations (MAKANI_DISCO_FUSED=window|taps,
+        default "window"):
+
+        * ``window`` — the banded window is gathered once into
+          (B, Hout, g, ig, BL, Win) and applied as one grouped conv with the
+          weights pre-contracted into the psi tables. This is the measured
+          FCN3 0.5-deg B=1 configuration (PERF.md: 0.2509 samples/s/chip).
+        * ``taps`` — per-band-row strided tap slices + small einsums,
+          built to dodge the 10 GB XLA relayout of the window gather that
+          blocks B=2; measured on hardware it REGRESSES B=1 (the WW tap
+          partials at the atmo decoder keep ~9 x 315 MB temps alive and the
+          step OOMs by 1.2 GB), so it stays opt-in.
         """
+        if _os.environ.get("MAKANI_DISCO_FUSED", "window") == "taps":
+            return self._fused_taps(x, w)
+        return self._fused_window(x, w)
+
+    def _fused_window(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """One grouped conv over the gathered latitude band (measured path).
+
+        Pre-contracts the learned weights with the psi tables so the
+        (B, C, K, Hout, Wout) basis-response tensor never materializes — the
+        banded conv maps (ig * BL) window features directly to the og output
+        channels per latitude. Only worthwhile for the channel-grouped
+        encoders/decoders where g * og * ig is small (the effective filter is
+        (Hout * g * og, ig * BL, WW)); processor blocks with full channel
+        mixing use ``mix_first``.
+        """
+        B = x.shape[0]
+        g, og, ig, K = w.shape
+        Hout, Wout = self.out_shape
+        BL, halo = self.BL, self.halo
+        a, b = self.stride, self.phases
+        Win = x.shape[-1]
+        cdt = self.compute_dtype
+
+        band_rows = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
+        xb = x.reshape(B, g, ig, x.shape[-2], Win)[:, :, :, band_rows.reshape(-1), :].reshape(B, g, ig, Hout, BL, Win)
+        xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hout, g, ig, BL, Win)
+
+        if self.polar_rows:
+            # the few full-longitude polar rows reuse the same grouped-conv
+            # machinery with a window of Win (no FFT: at P ~ 5 rows the dense
+            # correlation is ~1 GFLOP, and the conv op tiles cleanly where
+            # the complex einsums lowered to pathologically-padded convs)
+            rows = np.asarray(self.polar_rows)
+            P = len(rows)
+            xb_p = xb[:, rows]  # (B, P, g, ig, BL, Win)
+            keep = np.ones((Hout,), np.float32)
+            keep[rows] = 0.0
+            onehot = np.zeros((P, Hout), np.float32)
+            onehot[np.arange(P), rows] = 1.0
+
+        phase_outputs = []
+        for p in range(b):
+            base = int(self.bases[p])
+            xs = jnp.roll(xb, -(base - halo), axis=-1)
+            n_out_p = Wout // b
+            needed = (n_out_p - 1) * a + self.WW
+            if needed > Win:
+                xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
+            inp = xs.reshape(B, Hout * g * ig * BL, xs.shape[-1]).astype(cdt)
+            # effective filter: psi contracted with the learned weights
+            psi = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
+            filt = jnp.einsum("goik,khjw->hgoijw", w.astype(jnp.float32), psi)
+            filt = filt.reshape(Hout * g * og, ig * BL, self.WW).astype(cdt)
+            out = jax.lax.conv_general_dilated(
+                inp,
+                filt,
+                window_strides=(a,),
+                padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=Hout * g,
+            )  # (B, Hout*g*og, n_out_p)
+            y_p = out.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
+
+            if self.polar_rows:
+                # circular correlation over the full longitude as a strided
+                # VALID grouped conv: pad the input by one extra period
+                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)
+                filt_p = jnp.einsum("goik,kpjw->pgoijw", w.astype(jnp.float32), jnp.asarray(psi_p))
+                filt_p = filt_p.reshape(P * g * og, ig * BL, Win).astype(cdt)
+                need_p = (n_out_p - 1) * a + Win
+                xsp = jnp.concatenate([xb_p, xb_p[..., : need_p - Win]], axis=-1)
+                inp_p = xsp.reshape(B, P * g * ig * BL, need_p).astype(cdt)
+                out_p = jax.lax.conv_general_dilated(
+                    inp_p,
+                    filt_p,
+                    window_strides=(a,),
+                    padding="VALID",
+                    dimension_numbers=("NCW", "OIW", "NCW"),
+                    feature_group_count=P * g,
+                )  # (B, P*g*og, n_out_p)
+                y_pp = out_p.reshape(B, P, g * og, n_out_p).transpose(0, 2, 1, 3)
+                y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
+                    "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
+                )
+            phase_outputs.append(y_p)
+
+        y = jnp.stack(phase_outputs, axis=-1)  # (B, Cout, Hout, n_out_p, b)
+        return y.reshape(B, g * og, Hout, Wout)
+
+    def _fused_taps(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Tap-loop variant: BL shifted-row lat-gathers, WW strided tap
+        slices, small-K einsums (see ``fused`` for when to pick it)."""
         B = x.shape[0]
         g, og, ig, K = w.shape
         Hout, Wout = self.out_shape

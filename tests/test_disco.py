@@ -95,10 +95,13 @@ def test_disco_constant_field_isotropy():
     assert np.abs(t[0, 0, 3, mid]).max() < np.abs(t[0, 0, 0, mid]).max() * 0.2
 
 
+@pytest.mark.parametrize("variant", ["window", "taps"])
 @pytest.mark.parametrize("shapes", [((16, 32), (16, 32)), ((17, 36), (12, 24)), ((24, 48), (24, 48))])
-def test_fused_weight_path_matches_two_stage(shapes):
+def test_fused_weight_path_matches_two_stage(shapes, variant, monkeypatch):
     """DiscoConvS2.fused (weights pre-contracted into the conv filters) must
-    reproduce the two-stage responses-then-mix path, values and grads."""
+    reproduce the two-stage responses-then-mix path, values and grads —
+    for both formulations (MAKANI_DISCO_FUSED=window|taps)."""
+    monkeypatch.setenv("MAKANI_DISCO_FUSED", variant)
     in_shape, out_shape = shapes
     kernel_shape = (3, 3)
     conv = DiscoConvS2(in_shape, out_shape, kernel_shape, basis_type="morlet th", basis_norm_mode="mean")
