@@ -87,8 +87,11 @@ class DiscoConv(nn.Module):
         # mix-first path for full-channel-mixing convs (processor blocks):
         # channel mixing runs before the basis convs under a scan over k, so
         # the (B, C, K, H, W) response tensor never materializes (same FLOPs;
-        # ops/disco.py mix_first). MAKANI_DISCO_MIX_FIRST=0 reverts.
-        if getattr(self.conv_op, "supports_fused", False) and os.environ.get("MAKANI_DISCO_MIX_FIRST", "1") == "1":
+        # ops/disco.py mix_first). OPT-IN (MAKANI_DISCO_MIX_FIRST=1): the
+        # compiled scan program crashed the TPU worker process on two
+        # separate runs of the published FCN3 recipe (PERF.md round 4),
+        # while the two-stage path ran clean at the measured 0.2509.
+        if getattr(self.conv_op, "supports_fused", False) and os.environ.get("MAKANI_DISCO_MIX_FIRST", "0") == "1":
             y = self.conv_op.mix_first(xin.astype(cdt), w)
             if self.channels_last:
                 y = jnp.transpose(y, (0, 2, 3, 1))
@@ -216,7 +219,9 @@ class DiscreteContinuousDecoder(nn.Module):
             isht = InverseRealSHT(*self.out_shape, lmax=sht.lmax, mmax=sht.mmax, grid=self.grid_out)
             x = isht.synthesis(sht.analysis(x))
         else:
-            resample = ResampleS2(*self.inp_shape, *self.out_shape, grid_in=self.grid_in, grid_out=self.grid_out)
+            from makani_tpu.parallel.resample import make_resample
+
+            resample = make_resample(*self.inp_shape, *self.out_shape, grid_in=self.grid_in, grid_out=self.grid_out)
             x = resample(x)
 
         theta_cutoff = self.theta_cutoff or compute_cutoff_radius(self.out_shape[0], self.kernel_shape, self.basis_type)

@@ -2,9 +2,20 @@
 equivalent; bound by the reference at fourcastnet3.py:356-358).
 
 Separable bilinear interpolation between equiangular (or Legendre-Gauss)
-lat-lon grids: latitude via gathered linear interpolation, longitude via
-periodic linear interpolation. Precomputed indices/weights in numpy; the
-apply is two gathers + lerps (cheap, HBM-bound).
+lat-lon grids, with two equivalent applications:
+
+* ``gather`` — latitude/longitude lerps via precomputed index gathers
+  (cheap, HBM-bound; the serial default).
+* ``matmul`` — the same lerps as contractions with constant banded
+  interpolation matrices. Under SPMD this is the distributed formulation
+  (the reference's ``DistributedResampleS2`` role): GSPMD shards matmul
+  contractions with partial-GEMM + reduce patterns, whereas the gather's
+  data-dependent latitude indexing makes it all-gather the whole sharded
+  field first — measured 456 MB of all-gathers per decoder at the 0.5-deg
+  distributed FCN3 train step (PERF.md round-4 census follow-up).
+
+``method="auto"`` (the model-facing default) picks matmul exactly when a
+device mesh with a nontrivial spatial carving is active at trace time.
 """
 
 from __future__ import annotations
@@ -18,10 +29,23 @@ from makani_tpu.ops.quadrature import precompute_latitudes
 __all__ = ["ResampleS2"]
 
 
+def _spatially_sharded() -> bool:
+    try:
+        from makani_tpu.parallel import mesh as mesh_mod
+
+        m = mesh_mod.get_mesh()
+        return m is not None and m.shape.get("h", 1) * m.shape.get("w", 1) > 1
+    except Exception:
+        return False
+
+
 class ResampleS2:
-    def __init__(self, nlat_in, nlon_in, nlat_out, nlon_out, grid_in="equiangular", grid_out="equiangular", mode="bilinear"):
+    def __init__(self, nlat_in, nlon_in, nlat_out, nlon_out, grid_in="equiangular", grid_out="equiangular", mode="bilinear", method="gather"):
         if mode != "bilinear":
             raise NotImplementedError(f"resampling mode {mode}")
+        if method not in ("gather", "matmul", "auto"):
+            raise ValueError(f"resampling method {method}")
+        self.method = method
         self.in_shape = (nlat_in, nlon_in)
         self.out_shape = (nlat_out, nlon_out)
 
@@ -42,7 +66,27 @@ class ResampleS2:
         self.lon_idx1 = ((k + 1) % nlon_in).astype(np.int32)
         self.lon_w = v.astype(np.float32)
 
+        # constant banded interpolation matrices (the matmul formulation);
+        # identical arithmetic: row o of lat_mat holds (1-w, w) at columns
+        # (j, j+1), row p of lon_mat holds (1-v, v) at (k0, k1) with wrap
+        lat_mat = np.zeros((nlat_out, nlat_in), np.float32)
+        lat_mat[np.arange(nlat_out), self.lat_idx] = 1.0 - self.lat_w[:, 0]
+        lat_mat[np.arange(nlat_out), self.lat_idx + 1] += self.lat_w[:, 0]
+        lon_mat = np.zeros((nlon_out, nlon_in), np.float32)
+        lon_mat[np.arange(nlon_out), self.lon_idx0] = 1.0 - self.lon_w
+        lon_mat[np.arange(nlon_out), self.lon_idx1] += self.lon_w
+        self.lat_mat = lat_mat
+        self.lon_mat = lon_mat
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        method = self.method
+        if method == "auto":
+            method = "matmul" if _spatially_sharded() else "gather"
+        if method == "matmul":
+            Ml = jnp.asarray(self.lat_mat, dtype=x.dtype)
+            Mp = jnp.asarray(self.lon_mat, dtype=x.dtype)
+            y = jnp.einsum("oh,...hw->...ow", Ml, x)
+            return jnp.einsum("pw,...hw->...hp", Mp, y)
         # latitude lerp
         lo = x[..., self.lat_idx, :]
         hi = x[..., self.lat_idx + 1, :]
