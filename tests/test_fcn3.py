@@ -150,3 +150,56 @@ def test_fcn3_spatial_distributed_parity():
     y_dist = jax.jit(md.apply)(pd, xd)
     err = float(jnp.abs(y_dist - y_serial).max()) / float(jnp.abs(y_serial).max())
     assert err < 1e-5
+
+
+def test_fcn3_decoder_emits_no_resample_all_gather():
+    """Census regression (PERF.md round 4): under a spatial mesh the decoder
+    resampling must ride the halo shard_map — the only all-gathers allowed
+    under a decoder op_name are the DISCO polar-row gathers inside the conv
+    shard_map (irreducible: the near-pole window spans all longitudes).
+    Without the halo resample, GSPMD all-gathers the whole internal-grid
+    field in front of every decoder."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from makani_tpu.models.model_registry import get_model
+    from makani_tpu.parallel.sharding_rules import infer_param_partition_spec
+
+    cfg = dict(
+        nettype="FCN3",
+        img_shape_x=24,
+        img_shape_y=48,
+        scale_factor=2,
+        embed_dim=16,
+        num_layers=2,
+        channel_names=["u10m", "v10m", "t2m", "q700"],
+        in_channels=[0, 1, 2, 3],
+        out_channels=[0, 1, 2, 3],
+        n_history=0,
+        n_future=0,
+        add_zenith=False,
+    )
+    pmesh.cleanup()
+    mesh = pmesh.init(h=2, w=2)
+    try:
+        m, _ = get_model(ParamsBase(dict(cfg)), multistep=False)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 24, 48).astype(np.float32))
+        shapes = jax.eval_shape(lambda k: m.init(k, x), jax.random.PRNGKey(0))
+        specs = infer_param_partition_spec(shapes)
+        p = jax.jit(m.init, out_shardings=jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs))(
+            jax.random.PRNGKey(0), x
+        )
+        xd = jax.device_put(x, NamedSharding(mesh, P(("batch", "ensemble"), None, "h", "w")))
+        hlo = jax.jit(m.apply).lower(p, xd).compile().as_text()
+        offenders = []
+        for line in hlo.splitlines():
+            if not re.search(r"\ball-gather\(", line):
+                continue
+            nm = re.search(r'op_name="([^"]*)"', line)
+            op = nm.group(1) if nm else ""
+            if "decoder" in op and "shard_map" not in op:
+                offenders.append(op)
+        assert not offenders, f"decoder field all-gathers reappeared: {offenders}"
+    finally:
+        pmesh.cleanup()
