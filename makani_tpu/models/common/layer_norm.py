@@ -20,8 +20,19 @@ import numpy as np
 import jax.numpy as jnp
 from flax import linen as nn
 
+from jax.ad_checkpoint import checkpoint_name
+
 from makani_tpu.ops.norm import weighted_instance_norm_affine
 from makani_tpu.utils.grids import GridQuadrature
+
+
+def _tag_stats(mean, var):
+    # Name the per-(sample, channel) statistics so selective remat policies
+    # (sfnonet remat_policy="save_transforms_stats") can pin them: the stats
+    # are O(B*C) scalars but recomputing them in backward costs two full
+    # spatial-reduction reads of the activation per norm — the dominant
+    # elementwise recompute at full resolution. No-op without such a policy.
+    return checkpoint_name(mean, "norm_stats"), checkpoint_name(var, "norm_stats")
 
 
 def _use_fused_norm() -> bool:
@@ -101,6 +112,7 @@ class InstanceNorm2d(nn.Module):
         else:
             mean = jnp.mean(xs, axis=sp, keepdims=True)
             var = jnp.var(xs, axis=sp, keepdims=True)
+        mean, var = _tag_stats(mean, var)
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             if self.channels_last:
@@ -167,6 +179,7 @@ class GeometricInstanceNormS2(nn.Module):
                 var = jnp.maximum(m2 - jnp.square(mean), 0.0)
             else:
                 var = self._quad(jnp.square(xs - mean))[..., None, None]
+        mean, var = _tag_stats(mean, var)
         y = ((xs - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             if self.channels_last:

@@ -356,7 +356,10 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     # stored for the backward pass, while elementwise chains (norms,
     # activations, skips) are recomputed from them, trading VPU recompute
     # for the HBM write+read of each stored intermediate (the step is
-    # bandwidth-bound, PERF.md roofline). "full" = remat whole blocks
+    # bandwidth-bound, PERF.md roofline). "save_transforms" remats blocks
+    # but pins the tagged SHT/FFT outputs; "save_transforms_stats" also pins
+    # the instance-norm statistics (tiny, but their recompute re-reads the
+    # full activation twice per norm). "full" = remat whole blocks
     # saving nothing (equivalent to checkpointing_level 3). Orthogonal to
     # checkpointing_level; ignored when level >= 3 already remats blocks.
     remat_policy: str = "none"
@@ -532,6 +535,17 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 NeuralOperatorBlock,
                 static_argnums=(2,),
                 policy=jax.checkpoint_policies.save_only_these_names("spectral_transform"),
+            )
+        elif self.remat_policy == "save_transforms_stats":
+            # save_transforms plus the tagged instance-norm statistics: the
+            # stats are O(B*C) scalars but recomputing each norm's two-pass
+            # mean/var costs two full spatial-reduction reads of the
+            # activation — at full res the costliest remaining elementwise
+            # recompute after the transforms are pinned (layer_norm._tag_stats)
+            block_cls = nn.remat(
+                NeuralOperatorBlock,
+                static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names("spectral_transform", "norm_stats"),
             )
         elif self.remat_policy == "full":
             block_cls = nn.remat(NeuralOperatorBlock, static_argnums=(2,))

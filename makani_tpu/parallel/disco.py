@@ -56,9 +56,13 @@ class DistributedDiscoConvS2(DiscoConvS2):
     and the output comes back sharded the same way.
     """
 
-    # the fused weight path is serial-only: here the halo shard_map body owns
-    # the banded gather, so DiscoConv must use the two-stage contract
-    supports_fused = False
+    # the fused weight path has its own halo shard_map body (``fused`` below):
+    # the learned weights are pre-contracted with the per-rank psi slices
+    # inside the body, so the grouped encoder/decoder contraction stays
+    # entirely shard-local — without it GSPMD all-gathers the full-res
+    # (B, C, K, H, W) responses to run the channel-mix einsum globally
+    # (15.6 GB of all-gathers in the 0.25-deg FCN3 census, PERF.md round 4)
+    supports_fused = True
 
     def __init__(self, *args, h_axis="h", w_axis="w", **kwargs):
         super().__init__(*args, **kwargs)
@@ -267,6 +271,145 @@ class DistributedDiscoConvS2(DiscoConvS2):
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, self.Hin_pad - x.shape[-2]), (0, 0)])
         t = self._fn(x)
         return t[..., :Hout, :]
+
+    def _fused_body(self, xl, w):
+        """Weight-fused halo body: xl local (B, g*ig, Hl_in, Wl_in), w
+        replicated (g, og, ig, K) -> y local (B, g*og, Hl_out, Wl_out).
+
+        Mirrors the serial ``DiscoConvS2._fused_window`` on the halo-assembled
+        local band: the per-rank psi slice is pre-contracted with the learned
+        weights, so the (B, C, K, H, W) responses never exist and no
+        cross-shard contraction is needed — outputs stay sharded like inputs.
+        """
+        hs, ws = self.h_size, self.w_size
+        Hin, Win = self.in_shape
+        Hout, Wout = self.out_shape
+        BL, halo = self.BL, self.halo
+        a, b = self.stride, self.phases
+        HU, HD, HL = self.HU, self.HD, self.HL
+        Hl_out = self._Hl_out
+        Wl_in = Win // ws
+        Wl_out = Wout // ws
+        B = xl.shape[0]
+        g, og, ig, K = w.shape
+        cdt = self.compute_dtype
+
+        # latitude halo exchange (identical to _body)
+        idx = np.arange(hs)
+        if hs > 1 and HU > 0:
+            top = lax.ppermute(xl[:, :, -HU:, :], self.h_axis, perm=list(zip(idx[:-1], idx[1:])))
+        else:
+            top = jnp.zeros((B, g * ig, HU, xl.shape[-1]), xl.dtype)
+        if hs > 1 and HD > 0:
+            bot = lax.ppermute(xl[:, :, :HD, :], self.h_axis, perm=list(zip(idx[1:], idx[:-1])))
+        else:
+            bot = jnp.zeros((B, g * ig, HD, xl.shape[-1]), xl.dtype)
+        blk = jnp.concatenate([top, xl, bot], axis=2) if (HU or HD) else xl
+
+        rank = lax.axis_index(self.h_axis)
+        lb = jnp.take(jnp.asarray(self._local_band), rank, axis=0)  # (Hl_out, BL)
+        psi_band = jnp.take(jnp.asarray(self._psi_band_r), rank, axis=0)  # (b, K, Hl_out, BL, WW)
+
+        xb = blk.reshape(B, g, ig, blk.shape[2], Wl_in)[:, :, :, lb.reshape(-1), :]
+        xb = xb.reshape(B, g, ig, Hl_out, BL, Wl_in)
+        xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hl_out, g, ig, BL, Wl_in)
+
+        # circular longitude halo (identical offsets to _body)
+        wrank = lax.axis_index(self.w_axis) if ws > 1 else 0
+        if ws > 1 and not self._wide_lon:
+            widx = np.arange(ws)
+            left = lax.ppermute(xb[..., -HL:], self.w_axis, perm=[(q, (q + 1) % ws) for q in widx])
+            right = lax.ppermute(xb[..., :HL], self.w_axis, perm=[((q + 1) % ws, q) for q in widx])
+            strip = jnp.concatenate([left, xb, right], axis=-1)
+        elif self._wide_lon:
+            strip = lax.all_gather(xb, self.w_axis, axis=-1, tiled=True)  # full Win
+        else:
+            strip = xb
+
+        if self.P_max:
+            prow = jnp.take(jnp.asarray(self._polar_rows_r), rank, axis=0)  # (P_max,)
+            psi_polar = jnp.take(jnp.asarray(self._psi_polar_r), rank, axis=0)  # (b, K, P_max, BL, Win)
+            xb_p = jnp.take(xb, prow, axis=1)  # (B, P_max, g, ig, BL, Wl_in)
+            if ws > 1:
+                xb_p = lax.all_gather(xb_p, self.w_axis, axis=-1, tiled=True)  # full lon
+
+        n_u = Wl_out // b
+        phase_outputs = []
+        for p in range(b):
+            base = int(self.bases[p])
+            span = (n_u - 1) * a + self.WW
+            if ws > 1 and not self._wide_lon:
+                off = HL + base - halo
+                xs = lax.dynamic_slice_in_dim(strip, off, span, axis=-1)
+            elif self._wide_lon:
+                xs = jnp.roll(strip, -(wrank * Wl_in + base - halo), axis=-1)
+                if span > Win:
+                    xs = jnp.concatenate([xs, xs[..., : span - Win]], axis=-1)
+                else:
+                    xs = xs[..., :span]
+            else:
+                xs = jnp.roll(strip, -(base - halo), axis=-1)
+                if span > Wl_in:
+                    xs = jnp.concatenate([xs, xs[..., : span - Wl_in]], axis=-1)
+                else:
+                    xs = xs[..., :span]
+            inp = xs.reshape(B, Hl_out * g * ig * BL, span).astype(cdt)
+            filt = jnp.einsum("goik,khjw->hgoijw", w.astype(jnp.float32), psi_band[p])
+            filt = filt.reshape(Hl_out * g * og, ig * BL, self.WW).astype(cdt)
+            out = lax.conv_general_dilated(
+                inp,
+                filt,
+                window_strides=(a,),
+                padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=Hl_out * g,
+            )  # (B, Hl_out*g*og, n_u)
+            y_p = out.reshape(B, Hl_out, g * og, n_u).transpose(0, 2, 1, 3)  # (B, Cout, Hl_out, n_u)
+
+            if self.P_max:
+                from makani_tpu.ops import fft_compat
+
+                # FFT circular-correlation responses on the few local polar
+                # rows (always fp32, like _body), then the tiny w contraction
+                Xs = fft_compat.rfft_s(xb_p.astype(jnp.float32), axis=-1)
+                psi_p = jnp.roll(psi_polar[p], base, axis=-1)
+                Ps = fft_compat.rfft_s(psi_p, axis=-1)  # (K, P_max, BL, M, 2)
+                re = jnp.einsum("bpgijm,kpjm->bpgikm", Xs[..., 0], Ps[..., 0]) + jnp.einsum(
+                    "bpgijm,kpjm->bpgikm", Xs[..., 1], Ps[..., 1]
+                )
+                im = jnp.einsum("bpgijm,kpjm->bpgikm", Xs[..., 1], Ps[..., 0]) - jnp.einsum(
+                    "bpgijm,kpjm->bpgikm", Xs[..., 0], Ps[..., 1]
+                )
+                corr = fft_compat.irfft_s(jnp.stack([re, im], axis=-1), n=Win, axis=-1, norm="backward")
+                cols = (wrank * n_u + jnp.arange(n_u)) * a % Win
+                t_pp = jnp.take(corr, cols, axis=-1)  # (B, P_max, g, ig, K, n_u)
+                y_pp = jnp.einsum("bpgiku,goik->bgopu", t_pp, w.astype(jnp.float32))
+                y_pp = y_pp.reshape(B, g * og, self.P_max, n_u)
+                # banded psi is zeroed at polar rows (same invariant _body
+                # relies on), so a scatter-add of the exact rows is exact
+                y_p = y_p.at[:, :, prow, :].add(y_pp.astype(y_p.dtype))
+            phase_outputs.append(y_p)
+
+        y = jnp.stack(phase_outputs, axis=-1).reshape(B, g * og, Hl_out, Wl_out)
+        return y
+
+    def fused(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Distributed weight-fused DISCO conv: x (B, g*ig, Hin, Win) sharded
+        over (h, w), w (g, og, ig, K) replicated -> y (B, g*og, Hout, Wout)
+        sharded like x."""
+        Hout = self.out_shape[0]
+        if x.shape[-2] != self.Hin_pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, self.Hin_pad - x.shape[-2]), (0, 0)])
+        if not hasattr(self, "_fused_fn"):
+            self._fused_fn = jax.shard_map(
+                self._fused_body,
+                mesh=self.mesh,
+                in_specs=(P(("batch", "ensemble"), None, self.h_axis, self.w_axis), P()),
+                out_specs=P(("batch", "ensemble"), None, self.h_axis, self.w_axis),
+                check_vma=False,
+            )
+        y = self._fused_fn(x, w)
+        return y[..., :Hout, :]
 
 
 def make_disco_conv(in_shape, out_shape, kernel_shape=(3, 4), **kwargs) -> DiscoConvS2:

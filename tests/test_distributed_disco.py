@@ -94,3 +94,43 @@ def test_halo_sizes_are_tight():
     _init(dict(h=4, w=1))
     dist = DistributedDiscoConvS2((24, 48), (24, 48), (3, 4))
     assert dist.HU + dist.HD <= 2 * dist.BL
+
+
+@pytest.mark.parametrize("cfg", MESHES, ids=lambda c: f"h{c['h']}w{c['w']}")
+@pytest.mark.parametrize("shapes", SHAPES, ids=lambda s: f"{s[0][0]}x{s[0][1]}to{s[1][0]}x{s[1][1]}")
+def test_distributed_fused_matches_serial_fused(cfg, shapes):
+    """The weight-fused halo path (no response tensor, no cross-shard
+    contraction) must match the serial fused conv in values."""
+    in_shape, out_shape = shapes
+    serial = DiscoConvS2(in_shape, out_shape, (3, 4))
+    rng = np.random.RandomState(2)
+    B, g, og, ig = 2, 3, 2, 2
+    x = jnp.asarray(rng.randn(B, g * ig, *in_shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(g, og, ig, serial.K).astype(np.float32))
+    ref = np.asarray(serial.fused(x, w))
+
+    _init(cfg)
+    dist = DistributedDiscoConvS2(in_shape, out_shape, (3, 4))
+    assert dist.supports_fused
+    out = np.asarray(jax.jit(dist.fused)(x, w))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=3e-5)
+
+
+def test_distributed_fused_gradients_match_serial():
+    """Input AND weight gradients of the fused halo path vs the serial op."""
+    in_shape, out_shape = (12, 24), (24, 48)  # decoder-style upsample
+    serial = DiscoConvS2(in_shape, out_shape, (3, 4))
+    rng = np.random.RandomState(3)
+    g, og, ig = 2, 3, 2
+    x = jnp.asarray(rng.randn(2, g * ig, *in_shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(g, og, ig, serial.K).astype(np.float32))
+    wgt = jnp.asarray(rng.randn(1, g * og, out_shape[0], out_shape[1]).astype(np.float32))
+
+    gx_ref, gw_ref = jax.grad(lambda v, q: jnp.sum(serial.fused(v, q) * wgt), argnums=(0, 1))(x, w)
+
+    _init(dict(h=2, w=2))
+    dist = DistributedDiscoConvS2(in_shape, out_shape, (3, 4))
+    gx, gw = jax.grad(lambda v, q: jnp.sum(dist.fused(v, q) * wgt), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=3e-4)

@@ -115,7 +115,7 @@ def test_distributed_gradients_match_serial():
         np.testing.assert_allclose(np.asarray(flat_dist[key]), np.asarray(v), atol=2e-5, err_msg=key)
 
 
-@pytest.mark.parametrize("policy", ["dots", "full", "save_transforms"])
+@pytest.mark.parametrize("policy", ["dots", "full", "save_transforms", "save_transforms_stats"])
 def test_remat_policy_value_and_grad_parity(policy):
     """Selective remat (dots_saveable / full block remat) must be a pure
     scheduling choice: values and gradients identical to the no-remat net."""
