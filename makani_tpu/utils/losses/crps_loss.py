@@ -39,6 +39,20 @@ from .base_loss import GeometricBaseLoss, LossType, SpectralBaseLoss
 __all__ = ["CRPSLoss", "SpectralCRPSLoss", "crps_ensemble", "crps_ensemble_manual_a2a"]
 
 
+def _abs_sym(x):
+    """|x| with a symmetric subgradient: 0 at x == 0 (torch's convention, and
+    the one the CRPS member-subgradient cancellation identity needs). JAX's
+    lax.abs picks +1 at the kink, which leaks a spurious +1/E per member on
+    exactly-tied ensembles."""
+    return x * jnp.sign(x)
+
+
+def _relu0(x):
+    """max(x, 0) whose gradient is 0 at the kink (torch relu convention;
+    jnp.maximum splits the tie gradient 0.5/0.5)."""
+    return jnp.where(x > 0, x, jnp.zeros_like(x))
+
+
 def _crps_cdf_kernel(obs, forecasts_sorted):
     """CDF-integration CRPS; forecasts_sorted: (..., E) ascending, obs (...)."""
     E = forecasts_sorted.shape[-1]
@@ -56,7 +70,7 @@ def _crps_cdf_kernel(obs, forecasts_sorted):
 
     zeros = jnp.zeros_like(obs)
     (obs_cdf, _, last, integral), _ = jax.lax.scan(body, (zeros, zeros, zeros, zeros), fc)
-    return integral + jnp.maximum(obs - last, 0.0)
+    return integral + _relu0(obs - last)
 
 
 def _crps_skillspread(obs, forecasts_sorted, alpha: float):
@@ -68,18 +82,18 @@ def _crps_skillspread(obs, forecasts_sorted, alpha: float):
         * (E - 1.0 + alpha)
         / (E * (E - 1.0))
     ) if E > 1 else jnp.zeros_like(obs)
-    eskill = jnp.mean(jnp.abs(obs[..., None] - forecasts_sorted), axis=-1)
+    eskill = jnp.mean(_abs_sym(obs[..., None] - forecasts_sorted), axis=-1)
     return eskill - 0.5 * espread
 
 
 def _crps_naive_skillspread(obs, forecasts, alpha: float):
     E = forecasts.shape[-1]
     if E > 1:
-        diffs = jnp.abs(forecasts[..., :, None] - forecasts[..., None, :])
+        diffs = _abs_sym(forecasts[..., :, None] - forecasts[..., None, :])
         espread = jnp.sum(diffs, axis=(-2, -1)) * (E - 1.0 + alpha) / (E * E * (E - 1.0))
     else:
         espread = 0.0
-    eskill = jnp.mean(jnp.abs(obs[..., None] - forecasts), axis=-1)
+    eskill = jnp.mean(_abs_sym(obs[..., None] - forecasts), axis=-1)
     return eskill - 0.5 * espread
 
 
@@ -88,7 +102,7 @@ def _crps_pwm(obs, forecasts_sorted):
     ranks = jnp.arange(E, dtype=forecasts_sorted.dtype)
     beta0 = jnp.mean(forecasts_sorted, axis=-1)
     beta1 = jnp.sum(ranks * forecasts_sorted, axis=-1) / (E * (E - 1.0)) if E > 1 else beta0 * 0
-    eskill = jnp.mean(jnp.abs(obs[..., None] - forecasts_sorted), axis=-1)
+    eskill = jnp.mean(_abs_sym(obs[..., None] - forecasts_sorted), axis=-1)
     return eskill + beta0 - 2.0 * beta1
 
 

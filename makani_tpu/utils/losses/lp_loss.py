@@ -46,6 +46,16 @@ class GeometricLpLoss(GeometricBaseLoss):
         return norms
 
 
+def _mode_weight(wgt):
+    """Per-(l, m) spectral weight, applied to the squared spectrum (ref
+    lp_loss.py:148-150 ``coeffsp = coeffsp * wgt``). Accepts (L, M) or the
+    split-complex-aligned (L, M, 1)."""
+    w = jnp.asarray(wgt)
+    if w.ndim >= 3 and w.shape[-1] == 1:
+        w = w[..., 0]
+    return w
+
+
 class SpectralLpLoss(SpectralBaseLoss):
     """Lp norm over SH coefficients (ref lp_loss.py:110-244)."""
 
@@ -58,10 +68,14 @@ class SpectralLpLoss(SpectralBaseLoss):
 
     def __call__(self, prd, tar, wgt=None, **kwargs):
         diff2 = self.spectrum_sq(prd - tar)
+        if wgt is not None:
+            diff2 = diff2 * _mode_weight(wgt)
         norms = jnp.sum(diff2, axis=(-2, -1)) ** (self.p / 2.0)
         norms = norms.reshape(prd.shape[0], -1)
         if self.relative:
             t2 = self.spectrum_sq(tar)
+            if wgt is not None:
+                t2 = t2 * _mode_weight(wgt)
             tnorms = jnp.sum(t2, axis=(-2, -1)) ** (self.p / 2.0)
             norms = norms / (tnorms.reshape(prd.shape[0], -1) + self.eps)
         if not self.squared:
@@ -88,10 +102,16 @@ class SpectralH1Loss(SpectralBaseLoss):
         return self.alpha * l2 + (1.0 - self.alpha) * h1
 
     def __call__(self, prd, tar, wgt=None, **kwargs):
-        val = self._h1_sq(self.spectrum_sq(prd - tar))
+        diff2 = self.spectrum_sq(prd - tar)
+        if wgt is not None:
+            diff2 = diff2 * _mode_weight(wgt)
+        val = self._h1_sq(diff2)
         val = val.reshape(prd.shape[0], -1)
         if self.relative:
-            tval = self._h1_sq(self.spectrum_sq(tar)).reshape(prd.shape[0], -1)
+            t2 = self.spectrum_sq(tar)
+            if wgt is not None:
+                t2 = t2 * _mode_weight(wgt)
+            tval = self._h1_sq(t2).reshape(prd.shape[0], -1)
             val = val / (tval + self.eps)
         if not self.squared:
             val = jnp.sqrt(val)

@@ -63,9 +63,16 @@ class GaussianMMDLoss(GeometricBaseLoss):
         forecasts = jnp.where(jnp.isnan(forecasts), 0.0, forecasts)
 
         def reduce(d):
-            d = jnp.where(nanmask, 0.0, d)
+            # the pairwise spread tensor is 6-D (B, E, E, C, H, W); insert a
+            # pair axis into the (B, 1, C, H, W) mask/weight so broadcasting
+            # aligns on the batch dim instead of silently requiring B == E
+            m = nanmask[:, :, None] if d.ndim == 6 else nanmask
+            d = jnp.where(m, 0.0, d)
             if wgt is not None:
-                d = d * wgt
+                wg = jnp.asarray(wgt)
+                if d.ndim == 6 and wg.ndim == 5:
+                    wg = wg[:, :, None]
+                d = d * wg
             d = self.quadrature(d)
             if self.channel_reduction:
                 d = jnp.sum(d, axis=-1, keepdims=True)

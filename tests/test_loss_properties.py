@@ -55,7 +55,11 @@ ZOO = [
     ("ensemble_gradient_crps", True, True, True, {}),
     ("ensemble_vort_div_crps", True, True, True, {}),
     ("ensemble_nll", True, False, False, {}),  # differential-entropy NLL may be negative
-    ("gaussian_mmd", True, True, True, {}),
+    # the reference's MMD estimator (ref mmd_loss.py:219 ``eskill - 0.5 *
+    # espread`` over Gaussian SIMILARITY kernels) is not zero-on-perfect: a
+    # point mass on the truth scores 1 - 0.5 (E-1+alpha)/E; pinned exactly in
+    # test_gaussian_mmd_perfect_closed_form
+    ("gaussian_mmd", True, True, False, {}),
     ("energy score", True, True, True, {}),
     ("sobolev_energy_score", True, True, True, {}),
     ("spectral_l2_energy_score", True, True, True, {}),
@@ -100,6 +104,31 @@ def test_zoo_zero_on_perfect(name, ens, nonneg, zperf, params):
     loss = _mk(name, **params)
     out = _eval(loss, ens, seed=5, perfect=True)
     assert np.abs(out).max() < 5e-3, f"{name} on perfect prediction: {np.abs(out).max()}"
+
+
+def test_gaussian_mmd_perfect_closed_form():
+    """On a point-mass-on-truth ensemble both kernel distances are 0, so
+    k(.) = 1 everywhere and the estimator reduces exactly to
+    1 - 0.5 (E-1+alpha)/E (ref mmd_loss.py:208-219)."""
+    for alpha in (1.0, 0.5):
+        loss = _mk("gaussian_mmd", alpha=alpha)
+        out = _eval(loss, ens=True, seed=5, perfect=True)
+        want = 1.0 - 0.5 * (E - 1.0 + alpha) / E
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_gaussian_mmd_prefers_skillful_similarity():
+    """The estimator is DECREASING in forecast error similarity terms: a
+    forecast far from the truth loses the skill kernel mass (k -> 0) while a
+    tight wrong ensemble keeps its spread kernel mass, scoring lower than the
+    perfect forecast under this sign convention — the reference trains MMD
+    jointly with CRPS, which supplies the skill direction."""
+    loss = _mk("gaussian_mmd")
+    perfect = _eval(loss, ens=True, seed=7, perfect=True)
+    tar = _rand((B, C, H, W), seed=8)
+    far = jnp.repeat(tar[:, None], E, axis=1) + 50.0
+    off = np.asarray(loss(far, tar))
+    assert (off < perfect).all()
 
 
 @pytest.mark.parametrize("name,ens,nonneg,zperf,params", ZOO, ids=IDS)
