@@ -283,6 +283,16 @@ def main():
             opt_state = tx.init(model_params)
             carry = (model_params, opt_state)
 
+    # BENCH_DUMP_HLO=<path>: write the optimized HLO of the compiled step (to
+    # map profiler fusion names back to ops) and exit without timing
+    dump = os.environ.get("BENCH_DUMP_HLO")
+    if dump:
+        compiled = train_step if hasattr(train_step, "as_text") else train_step.lower(*carry, x, tar, zen).compile()
+        with open(dump, "w") as f:
+            f.write(compiled.as_text())
+        print(json.dumps({"metric": "hlo-dump", "value": 0.0, "unit": "", "vs_baseline": 0.0}))
+        return
+
     for _ in range(warmup):
         loss, *carry = train_step(*carry, x, tar, zen)
     # force a host readback: on the remote-TPU relay, block_until_ready
