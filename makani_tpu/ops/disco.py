@@ -676,10 +676,15 @@ class DiscoConvS2:
         xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hout, g, ig, BL, Win)
 
         if self.polar_rows:
-            # the few full-longitude polar rows reuse the same grouped-conv
-            # machinery with a window of Win (no FFT: at P ~ 5 rows the dense
-            # correlation is ~1 GFLOP, and the conv op tiles cleanly where
-            # the complex einsums lowered to pathologically-padded convs)
+            # full-longitude polar rows: rFFT circular correlation with the
+            # channel mix done in frequency space (default, MAKANI_DISCO_POLAR
+            # =fft). The previous full-window grouped conv was profiled on
+            # hardware at the 0.5-deg FCN3 decoders (P=58 rows): XLA's
+            # EmitDepthwise*InSublanes emitters ran it at ~1.8 s/step — 45%
+            # of the whole train step (PERF.md round 4). The FFT path does
+            # the psi correlation as an explicit broadcast-multiply-sum
+            # (VPU, bandwidth-bound) rather than an einsum, because complex
+            # einsums here lowered to pathologically-padded convs (round 3).
             rows = np.asarray(self.polar_rows)
             P = len(rows)
             xb_p = xb[:, rows]  # (B, P, g, ig, BL, Win)
@@ -687,6 +692,28 @@ class DiscoConvS2:
             keep[rows] = 0.0
             onehot = np.zeros((P, Hout), np.float32)
             onehot[np.arange(P), rows] = 1.0
+            polar_fft = _os.environ.get("MAKANI_DISCO_POLAR", "fft") == "fft"
+            if polar_fft:
+                from makani_tpu.ops import fft_compat
+
+                # contraction order by polar temp size: mixing over ig first
+                # scales the temps by og*K*BL (right for decoders, og*BL <=
+                # ig); otherwise psi applies first and the og mix runs after
+                # irfft+sampling in the spatial domain (encoders, where ig is
+                # tiny and og*K would inflate 80x). All temps stay in the
+                # compute dtype (the old fused polar conv was also cdt); the
+                # psi multiply-sum accumulates in fp32.
+                polar_mix_first = og * BL <= ig
+                if polar_mix_first:
+                    # mix in the spatial domain, then one rFFT of the mixed
+                    # field: (B, P, g, og, K, BL, M, 2)
+                    u_sp = jnp.einsum("goik,bpgijw->bpgokjw", w.astype(xb_p.dtype), xb_p)
+                    Us = fft_compat.rfft_s(u_sp, axis=-1)
+                    Ure, Uim = Us[..., 0], Us[..., 1]
+                else:
+                    # (B, P, g, ig, BL, M, 2); phase-independent
+                    Xs = fft_compat.rfft_s(xb_p, axis=-1)
+                    Xre, Xim = Xs[..., 0], Xs[..., 1]
 
         phase_outputs = []
         for p in range(b):
@@ -711,7 +738,37 @@ class DiscoConvS2:
             )  # (B, Hout*g*og, n_out_p)
             y_p = out.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
 
-            if self.polar_rows:
+            if self.polar_rows and polar_fft:
+                # corr = irfft(X . conj(PsiF)); psi applied over (k, j) by an
+                # explicit broadcast-multiply-sum (never an einsum: complex
+                # einsums here lowered to pathologically-padded convs)
+                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)
+                Pf = np.fft.rfft(psi_p.astype(np.float64), axis=-1)
+                # align to (1, P, 1, 1, K, BL, M)
+                Pre_b = jnp.asarray(np.ascontiguousarray(Pf.real.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
+                Pim_b = jnp.asarray(np.ascontiguousarray(Pf.imag.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
+                cols = (np.arange(n_out_p) * a) % Win
+                if polar_mix_first:
+                    # U (B, P, g, og, K, BL, M) already mixed over ig
+                    f32 = jnp.float32
+                    Yre = (Ure.astype(f32) * Pre_b + Uim.astype(f32) * Pim_b).sum(axis=(4, 5))  # (B, P, g, og, M)
+                    Yim = (Uim.astype(f32) * Pre_b - Ure.astype(f32) * Pim_b).sum(axis=(4, 5))
+                    corr = fft_compat.irfft_s(jnp.stack([Yre, Yim], axis=-1), n=Win, axis=-1, norm="backward")
+                    y_pp = corr[..., cols].reshape(B, P, g * og, n_out_p)
+                else:
+                    # psi first: X (B, P, g, ig, 1, BL, M) -> t (B, P, g, ig, K, M)
+                    f32 = jnp.float32
+                    Xre_e, Xim_e = Xre[:, :, :, :, None].astype(f32), Xim[:, :, :, :, None].astype(f32)
+                    Tre = (Xre_e * Pre_b + Xim_e * Pim_b).sum(axis=5)
+                    Tim = (Xim_e * Pre_b - Xre_e * Pim_b).sum(axis=5)
+                    corr = fft_compat.irfft_s(jnp.stack([Tre, Tim], axis=-1), n=Win, axis=-1, norm="backward")
+                    t_pp = corr[..., cols]  # (B, P, g, ig, K, n_out_p)
+                    y_pp = jnp.einsum("goik,bpgiku->bpgou", w.astype(jnp.float32), t_pp).reshape(B, P, g * og, n_out_p)
+                y_pp = y_pp.transpose(0, 2, 1, 3)
+                y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
+                    "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
+                )
+            elif self.polar_rows:
                 # circular correlation over the full longitude as a strided
                 # VALID grouped conv: pad the input by one extra period
                 psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)

@@ -96,17 +96,20 @@ def test_disco_constant_field_isotropy():
 
 
 @pytest.mark.parametrize("variant", ["window", "taps"])
+@pytest.mark.parametrize("channels", [(3, 2, 4), (2, 1, 8)])
 @pytest.mark.parametrize("shapes", [((16, 32), (16, 32)), ((17, 36), (12, 24)), ((24, 48), (24, 48))])
-def test_fused_weight_path_matches_two_stage(shapes, variant, monkeypatch):
+def test_fused_weight_path_matches_two_stage(shapes, channels, variant, monkeypatch):
     """DiscoConvS2.fused (weights pre-contracted into the conv filters) must
     reproduce the two-stage responses-then-mix path, values and grads —
-    for both formulations (MAKANI_DISCO_FUSED=window|taps)."""
+    for both formulations (MAKANI_DISCO_FUSED=window|taps). The two channel
+    configs pick the two polar-FFT contraction orders (og*BL vs ig):
+    (3,2,4) runs psi-first (encoder-like), (2,1,8) mix-first (decoder-like)."""
     monkeypatch.setenv("MAKANI_DISCO_FUSED", variant)
     in_shape, out_shape = shapes
     kernel_shape = (3, 3)
     conv = DiscoConvS2(in_shape, out_shape, kernel_shape, basis_type="morlet th", basis_norm_mode="mean")
     K = conv.K
-    g, og, ig = 3, 2, 4
+    g, og, ig = channels
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, g * ig, *in_shape).astype(np.float32))
     w = jnp.asarray(rng.randn(g, og, ig, K).astype(np.float32) * 0.2)
