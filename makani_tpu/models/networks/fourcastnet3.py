@@ -100,7 +100,15 @@ class DiscoConv(nn.Module):
                 y = y + (bias if self.channels_last else bias[None, :, None, None])
             return y.astype(x.dtype)
 
-        t = self.conv_op(xin.astype(cdt))  # (B, C, K, Hout, Wout)
+        # two-stage path with the polar rows kept separate: mixing BEFORE the
+        # polar insert means the one-hot scatter runs on the (B, Cout, P, W)
+        # mixed rows, not the K-times-larger (B, C, K, H, W) response tensor
+        # (the pre-mix insert dragged a ~10 ms transposed 790 MB layout copy
+        # per FCN3 processor block on hardware; PERF.md round 4)
+        if getattr(self.conv_op, "supports_split", False):
+            t, t_pol = self.conv_op.call_split(xin.astype(cdt))
+        else:
+            t, t_pol = self.conv_op(xin.astype(cdt)), None  # (B, C, K, Hout, Wout)
         B, C, _, Ho, Wo = t.shape
         tg = t.reshape(B, g, cin_g, K, Ho, Wo)
         w = w.astype(t.dtype)
@@ -110,6 +118,17 @@ class DiscoConv(nn.Module):
             y = jnp.einsum("bgikhw,goik->bhwgo", tg, w).reshape(B, Ho, Wo, self.out_channels)
         else:
             y = jnp.einsum("bgikhw,goik->bgohw", tg, w).reshape(B, self.out_channels, Ho, Wo)
+        if t_pol is not None:
+            rows = np.asarray(self.conv_op.polar_rows)
+            onehot = np.zeros((len(rows), Ho), np.float32)
+            onehot[np.arange(len(rows)), rows] = 1.0
+            tp = t_pol.reshape(B, g, cin_g, K, len(rows), Wo)
+            if self.channels_last:
+                y_pol = jnp.einsum("bgikpw,goik->bpwgo", tp, w).reshape(B, len(rows), Wo, self.out_channels)
+                y = y + jnp.einsum("ph,bpwc->bhwc", jnp.asarray(onehot, y.dtype), y_pol)
+            else:
+                y_pol = jnp.einsum("bgikpw,goik->bgopw", tp, w).reshape(B, self.out_channels, len(rows), Wo)
+                y = y + jnp.einsum("ph,bcpw->bchw", jnp.asarray(onehot, y.dtype), y_pol)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
             y = y + (bias if self.channels_last else bias[None, :, None, None])

@@ -552,16 +552,18 @@ class DiscoConvS2:
 
         self.compute_dtype = jnp.bfloat16 if _os.environ.get("MAKANI_DISCO_BF16", "0") == "1" else jnp.float32
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, _split_polar: bool = False):
         B, C, Hin, Win = x.shape
         Hout, Wout = self.out_shape
         K, BL, halo = self.K, self.BL, self.halo
         a, b = self.stride, self.phases
+        split_polar = _split_polar
 
         band_rows = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
         xb = x[:, :, band_rows.reshape(-1), :].reshape(B, C, Hout, BL, Win)
 
         phase_outputs = []
+        polar_outputs = []
         for p in range(b):
             base = int(self.bases[p])
             # circular shift so the window start sits at index 0
@@ -609,47 +611,76 @@ class DiscoConvS2:
                 # already folded into the psi table, so column u sits at shift u*a
                 cols = (np.arange(n_out_p) * a) % Win
                 t_pp = corr[..., cols]
-                # static-index insert as mask-multiply + one-hot matmul: a
-                # scatter (.at[].set) here makes XLA materialize full-size u32
-                # index tensors in the backward pass (two ~5 GB buffers at the
-                # 0.25-deg decoder); the einsum gradient is just a matmul
-                keep = np.ones((Hout,), np.float32)
-                keep[rows] = 0.0
-                onehot = np.zeros((len(rows), Hout), np.float32)
-                onehot[np.arange(len(rows)), rows] = 1.0
-                t_p = t_p * jnp.asarray(keep, t_p.dtype)[None, None, None, :, None] + jnp.einsum(
-                    "ph,bckpw->bckhw", jnp.asarray(onehot, t_p.dtype), t_pp.astype(t_p.dtype)
-                )
+                if split_polar:
+                    polar_outputs.append(t_pp.astype(t_p.dtype))
+                else:
+                    # static-index insert as a one-hot matmul: a scatter
+                    # (.at[].set) here makes XLA materialize full-size u32
+                    # index tensors in the backward pass (two ~5 GB buffers at
+                    # the 0.25-deg decoder); the einsum gradient is a matmul.
+                    # No keep-mask is needed: psi_band is zeroed at polar rows,
+                    # so the banded conv already wrote exact zeros there.
+                    onehot = np.zeros((len(rows), Hout), np.float32)
+                    onehot[np.arange(len(rows)), rows] = 1.0
+                    t_p = t_p + jnp.einsum("ph,bckpw->bckhw", jnp.asarray(onehot, t_p.dtype), t_pp.astype(t_p.dtype))
             phase_outputs.append(t_p)
 
         # interleave phases: output column wo = p + b*u
         t = jnp.stack(phase_outputs, axis=-1)  # (B, C, K, Hout, n_out_p, b)
         t = t.reshape(B, C, K, Hout, Wout)
+        if split_polar:
+            if polar_outputs:
+                t_pol = jnp.stack(polar_outputs, axis=-1)  # (B, C, K, P, n_out_p, b)
+                t_pol = t_pol.reshape(B, C, K, len(self.polar_rows), Wout)
+            else:
+                t_pol = None
+            return t, t_pol
         return t
+
+    def call_split(self, x: jnp.ndarray):
+        """Like ``__call__`` but returns ``(t, t_polar)`` with the polar-row
+        responses kept separate: t (B, C, K, Hout, Wout) has exact zeros at
+        the polar rows (psi_band is zeroed there) and t_polar is
+        (B, C, K, P, Wout) or None. Callers mix channels on each part and
+        insert the (much smaller) mixed polar rows — at the FCN3 processor
+        blocks the one-hot insert on the pre-mix (B, C, K, H, W) tensor
+        dragged a ~10 ms transposed 790 MB copy per block (profiled round 4).
+        """
+        return self.__call__(x, _split_polar=True)
 
     # serial op only; the distributed subclass overrides __call__ with its
     # own shard_map body and does not provide the fused path
     supports_fused = True
+    supports_split = True
 
     def fused(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         """Weight-fused DISCO conv: x (B, g*ig, Hin, Win), w (g, og, ig, K)
         -> y (B, g*og, Hout, Wout).
 
-        Dispatches between two formulations (MAKANI_DISCO_FUSED=window|taps,
-        default "window"):
+        Dispatches between three formulations (MAKANI_DISCO_FUSED=
+        dense|window|taps, default "dense"):
 
+        * ``dense`` — per-(phase, shift) dense-latitude GEMMs (see
+          ``_fused_dense``). Measured FCN3 0.5-deg default: 0.628
+          samples/s/chip vs window's 0.502 (+25%), and it removes the
+          (B, Hout, g, ig, BL, Win) band gather entirely (760 MB bf16 at
+          the decoder) — the thing whose XLA relayout blocked B=2.
         * ``window`` — the banded window is gathered once into
           (B, Hout, g, ig, BL, Win) and applied as one grouped conv with the
-          weights pre-contracted into the psi tables. This is the measured
-          FCN3 0.5-deg B=1 configuration (PERF.md: 0.2509 samples/s/chip).
+          weights pre-contracted into the psi tables; XLA's per-latitude
+          grouped-conv emitters run it at low occupancy (og <= 45 output
+          features per group).
         * ``taps`` — per-band-row strided tap slices + small einsums,
-          built to dodge the 10 GB XLA relayout of the window gather that
-          blocks B=2; measured on hardware it REGRESSES B=1 (the WW tap
-          partials at the atmo decoder keep ~9 x 315 MB temps alive and the
-          step OOMs by 1.2 GB), so it stays opt-in.
+          built to dodge the 10 GB XLA relayout of the window gather;
+          measured on hardware it REGRESSES B=1 (the WW tap partials at the
+          atmo decoder keep ~9 x 315 MB temps alive and the step OOMs by
+          1.2 GB), so it stays opt-in.
         """
-        if _os.environ.get("MAKANI_DISCO_FUSED", "window") == "taps":
+        mode = _os.environ.get("MAKANI_DISCO_FUSED", "dense")
+        if mode == "taps":
             return self._fused_taps(x, w)
+        if mode == "dense":
+            return self._fused_dense(x, w)
         return self._fused_window(x, w)
 
     def _fused_window(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -676,44 +707,8 @@ class DiscoConvS2:
         xb = jnp.transpose(xb, (0, 3, 1, 2, 4, 5))  # (B, Hout, g, ig, BL, Win)
 
         if self.polar_rows:
-            # full-longitude polar rows: rFFT circular correlation with the
-            # channel mix done in frequency space (default, MAKANI_DISCO_POLAR
-            # =fft). The previous full-window grouped conv was profiled on
-            # hardware at the 0.5-deg FCN3 decoders (P=58 rows): XLA's
-            # EmitDepthwise*InSublanes emitters ran it at ~1.8 s/step — 45%
-            # of the whole train step (PERF.md round 4). The FFT path does
-            # the psi correlation as an explicit broadcast-multiply-sum
-            # (VPU, bandwidth-bound) rather than an einsum, because complex
-            # einsums here lowered to pathologically-padded convs (round 3).
-            rows = np.asarray(self.polar_rows)
-            P = len(rows)
-            xb_p = xb[:, rows]  # (B, P, g, ig, BL, Win)
-            keep = np.ones((Hout,), np.float32)
-            keep[rows] = 0.0
-            onehot = np.zeros((P, Hout), np.float32)
-            onehot[np.arange(P), rows] = 1.0
-            polar_fft = _os.environ.get("MAKANI_DISCO_POLAR", "fft") == "fft"
-            if polar_fft:
-                from makani_tpu.ops import fft_compat
-
-                # contraction order by polar temp size: mixing over ig first
-                # scales the temps by og*K*BL (right for decoders, og*BL <=
-                # ig); otherwise psi applies first and the og mix runs after
-                # irfft+sampling in the spatial domain (encoders, where ig is
-                # tiny and og*K would inflate 80x). All temps stay in the
-                # compute dtype (the old fused polar conv was also cdt); the
-                # psi multiply-sum accumulates in fp32.
-                polar_mix_first = og * BL <= ig
-                if polar_mix_first:
-                    # mix in the spatial domain, then one rFFT of the mixed
-                    # field: (B, P, g, og, K, BL, M, 2)
-                    u_sp = jnp.einsum("goik,bpgijw->bpgokjw", w.astype(xb_p.dtype), xb_p)
-                    Us = fft_compat.rfft_s(u_sp, axis=-1)
-                    Ure, Uim = Us[..., 0], Us[..., 1]
-                else:
-                    # (B, P, g, ig, BL, M, 2); phase-independent
-                    Xs = fft_compat.rfft_s(xb_p, axis=-1)
-                    Xre, Xim = Xs[..., 0], Xs[..., 1]
+            xb_p = xb[:, np.asarray(self.polar_rows)]  # (B, P, g, ig, BL, Win)
+            pstate = self._polar_fused_prelude(xb_p, w)
 
         phase_outputs = []
         for p in range(b):
@@ -738,61 +733,207 @@ class DiscoConvS2:
             )  # (B, Hout*g*og, n_out_p)
             y_p = out.reshape(B, Hout, g * og, n_out_p).transpose(0, 2, 1, 3)  # (B, Cout, Hout, n_out_p)
 
-            if self.polar_rows and polar_fft:
-                # corr = irfft(X . conj(PsiF)); psi applied over (k, j) by an
-                # explicit broadcast-multiply-sum (never an einsum: complex
-                # einsums here lowered to pathologically-padded convs)
-                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)
-                Pf = np.fft.rfft(psi_p.astype(np.float64), axis=-1)
-                # align to (1, P, 1, 1, K, BL, M)
-                Pre_b = jnp.asarray(np.ascontiguousarray(Pf.real.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
-                Pim_b = jnp.asarray(np.ascontiguousarray(Pf.imag.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
-                cols = (np.arange(n_out_p) * a) % Win
-                if polar_mix_first:
-                    # U (B, P, g, og, K, BL, M) already mixed over ig
-                    f32 = jnp.float32
-                    Yre = (Ure.astype(f32) * Pre_b + Uim.astype(f32) * Pim_b).sum(axis=(4, 5))  # (B, P, g, og, M)
-                    Yim = (Uim.astype(f32) * Pre_b - Ure.astype(f32) * Pim_b).sum(axis=(4, 5))
-                    corr = fft_compat.irfft_s(jnp.stack([Yre, Yim], axis=-1), n=Win, axis=-1, norm="backward")
-                    y_pp = corr[..., cols].reshape(B, P, g * og, n_out_p)
-                else:
-                    # psi first: X (B, P, g, ig, 1, BL, M) -> t (B, P, g, ig, K, M)
-                    f32 = jnp.float32
-                    Xre_e, Xim_e = Xre[:, :, :, :, None].astype(f32), Xim[:, :, :, :, None].astype(f32)
-                    Tre = (Xre_e * Pre_b + Xim_e * Pim_b).sum(axis=5)
-                    Tim = (Xim_e * Pre_b - Xre_e * Pim_b).sum(axis=5)
-                    corr = fft_compat.irfft_s(jnp.stack([Tre, Tim], axis=-1), n=Win, axis=-1, norm="backward")
-                    t_pp = corr[..., cols]  # (B, P, g, ig, K, n_out_p)
-                    y_pp = jnp.einsum("goik,bpgiku->bpgou", w.astype(jnp.float32), t_pp).reshape(B, P, g * og, n_out_p)
-                y_pp = y_pp.transpose(0, 2, 1, 3)
-                y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
-                    "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
-                )
-            elif self.polar_rows:
-                # circular correlation over the full longitude as a strided
-                # VALID grouped conv: pad the input by one extra period
-                psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)
-                filt_p = jnp.einsum("goik,kpjw->pgoijw", w.astype(jnp.float32), jnp.asarray(psi_p))
-                filt_p = filt_p.reshape(P * g * og, ig * BL, Win).astype(cdt)
-                need_p = (n_out_p - 1) * a + Win
-                xsp = jnp.concatenate([xb_p, xb_p[..., : need_p - Win]], axis=-1)
-                inp_p = xsp.reshape(B, P * g * ig * BL, need_p).astype(cdt)
-                out_p = jax.lax.conv_general_dilated(
-                    inp_p,
-                    filt_p,
-                    window_strides=(a,),
-                    padding="VALID",
-                    dimension_numbers=("NCW", "OIW", "NCW"),
-                    feature_group_count=P * g,
-                )  # (B, P*g*og, n_out_p)
-                y_pp = out_p.reshape(B, P, g * og, n_out_p).transpose(0, 2, 1, 3)
-                y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
-                    "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
-                )
+            if self.polar_rows:
+                y_p = self._polar_fused_phase(pstate, p, n_out_p, y_p)
             phase_outputs.append(y_p)
 
         y = jnp.stack(phase_outputs, axis=-1)  # (B, Cout, Hout, n_out_p, b)
         return y.reshape(B, g * og, Hout, Wout)
+
+    def _polar_fused_prelude(self, xb_p: jnp.ndarray, w: jnp.ndarray) -> dict:
+        """Phase-independent setup for the fused polar-rows path.
+
+        Default (MAKANI_DISCO_POLAR=fft): rFFT circular correlation with the
+        channel mix as a real GEMM. The previous full-window grouped conv was
+        profiled on hardware at the 0.5-deg FCN3 decoders (P=58 rows): XLA's
+        EmitDepthwise*InSublanes emitters ran it at ~1.8 s/step — 45% of the
+        whole train step (PERF.md round 4).
+
+        Contraction order by temp size: mixing over ig first scales the
+        temps by og*K*BL (right for decoders, og*BL <= ig); otherwise psi
+        applies first and the og mix runs after irfft+sampling in the
+        spatial domain (encoders, where ig is tiny and og*K would inflate
+        80x). Temps stay in the compute dtype; the psi multiply-sum
+        accumulates in fp32.
+        """
+        g, og, ig, K = w.shape
+        BL = self.BL
+        Hout = self.out_shape[0]
+        rows = np.asarray(self.polar_rows)
+        P = len(rows)
+        onehot = np.zeros((P, Hout), np.float32)
+        onehot[np.arange(P), rows] = 1.0
+        st = dict(w=w, g=g, og=og, ig=ig, P=P, onehot=onehot, xb_p=xb_p)
+        st["fft"] = _os.environ.get("MAKANI_DISCO_POLAR", "fft") == "fft"
+        if st["fft"]:
+            from makani_tpu.ops import fft_compat
+
+            st["mix_first"] = og * BL <= ig
+            if st["mix_first"]:
+                # mix in the spatial domain, then one rFFT of the mixed
+                # field: (B, P, g, og, K, BL, M, 2)
+                u_sp = jnp.einsum("goik,bpgijw->bpgokjw", w.astype(xb_p.dtype), xb_p)
+                Us = fft_compat.rfft_s(u_sp, axis=-1)
+                st["Ure"], st["Uim"] = Us[..., 0], Us[..., 1]
+            else:
+                # (B, P, g, ig, BL, M, 2); phase-independent
+                Xs = fft_compat.rfft_s(xb_p, axis=-1)
+                st["Xre"], st["Xim"] = Xs[..., 0], Xs[..., 1]
+        return st
+
+    def _polar_fused_phase(self, st: dict, p: int, n_out_p: int, y_p: jnp.ndarray) -> jnp.ndarray:
+        """Add phase ``p``'s polar-row outputs into y_p (B, Cout, Hout, n_out_p).
+
+        No keep-mask is needed: psi_band is zeroed at the polar rows, so the
+        banded path already wrote exact zeros there.
+        """
+        w, g, og, ig, P = st["w"], st["g"], st["og"], st["ig"], st["P"]
+        a = self.stride
+        Win = st["xb_p"].shape[-1]
+        B = y_p.shape[0]
+        onehot = st["onehot"]
+        psi_p = np.roll(self.psi_polar[p], int(self.bases[p]), axis=-1)  # (K, P, BL, Win)
+        if st["fft"]:
+            from makani_tpu.ops import fft_compat
+
+            # corr = irfft(X . conj(PsiF)); psi applied over (k, j) by an
+            # explicit broadcast-multiply-sum (never an einsum: complex
+            # einsums here lowered to pathologically-padded convs, round 3)
+            Pf = np.fft.rfft(psi_p.astype(np.float64), axis=-1)
+            # align to (1, P, 1, 1, K, BL, M)
+            Pre_b = jnp.asarray(np.ascontiguousarray(Pf.real.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
+            Pim_b = jnp.asarray(np.ascontiguousarray(Pf.imag.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
+            cols = (np.arange(n_out_p) * a) % Win
+            f32 = jnp.float32
+            if st["mix_first"]:
+                Ure, Uim = st["Ure"], st["Uim"]
+                Yre = (Ure.astype(f32) * Pre_b + Uim.astype(f32) * Pim_b).sum(axis=(4, 5))  # (B, P, g, og, M)
+                Yim = (Uim.astype(f32) * Pre_b - Ure.astype(f32) * Pim_b).sum(axis=(4, 5))
+                corr = fft_compat.irfft_s(jnp.stack([Yre, Yim], axis=-1), n=Win, axis=-1, norm="backward")
+                y_pp = corr[..., cols].reshape(B, P, g * og, n_out_p)
+            else:
+                # psi first: X (B, P, g, ig, 1, BL, M) -> t (B, P, g, ig, K, M)
+                Xre_e = st["Xre"][:, :, :, :, None].astype(f32)
+                Xim_e = st["Xim"][:, :, :, :, None].astype(f32)
+                Tre = (Xre_e * Pre_b + Xim_e * Pim_b).sum(axis=5)
+                Tim = (Xim_e * Pre_b - Xre_e * Pim_b).sum(axis=5)
+                corr = fft_compat.irfft_s(jnp.stack([Tre, Tim], axis=-1), n=Win, axis=-1, norm="backward")
+                t_pp = corr[..., cols]  # (B, P, g, ig, K, n_out_p)
+                y_pp = jnp.einsum("goik,bpgiku->bpgou", w.astype(jnp.float32), t_pp).reshape(B, P, g * og, n_out_p)
+        else:
+            # circular correlation over the full longitude as a strided
+            # VALID grouped conv: pad the input by one extra period
+            cdt = self.compute_dtype
+            xb_p = st["xb_p"]
+            filt_p = jnp.einsum("goik,kpjw->pgoijw", w.astype(jnp.float32), jnp.asarray(psi_p))
+            filt_p = filt_p.reshape(P * g * og, ig * self.BL, Win).astype(cdt)
+            need_p = (n_out_p - 1) * a + Win
+            xsp = jnp.concatenate([xb_p, xb_p[..., : need_p - Win]], axis=-1)
+            inp_p = xsp.reshape(B, P * g * ig * self.BL, need_p).astype(cdt)
+            out_p = jax.lax.conv_general_dilated(
+                inp_p,
+                filt_p,
+                window_strides=(a,),
+                padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=P * g,
+            )  # (B, P*g*og, n_out_p)
+            y_pp = out_p.reshape(B, P, g * og, n_out_p)
+        y_pp = y_pp.transpose(0, 2, 1, 3)
+        return y_p + jnp.einsum("ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype))
+
+    def _fused_dense(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        """Dense-latitude GEMM formulation of the banded window.
+
+        For each (phase, window shift s) the banded psi table is scattered
+        into a dense (Hout, Hin) latitude matrix and the whole contraction
+        becomes ONE well-shaped MXU GEMM — decoders contract (k, i):
+        ``khi,bckiw->bchw`` with M=Hout, K=K*Hin, N=C*W; encoders produce
+        the responses ``khi,bciw->bckhw`` first and mix after. Dense over
+        latitude costs Hin/BL more FLOPs than the banded grouped conv but
+        replaces XLA's low-occupancy per-latitude conv emitters (og <= 45
+        output features per group) and the band gather/roll backward storm
+        with plain GEMMs; profitable at the full-res encoders/decoders,
+        NOT at the internal-resolution processor blocks (36x FLOPs there).
+
+        The decoder order mixes channels over ig first at the input
+        resolution: u = w.x (B, g*og, K, Hin, Win), then the dense-latitude
+        GEMMs. Polar rows ride the shared FFT path.
+        """
+        B = x.shape[0]
+        g, og, ig, K = w.shape
+        Hout, Wout = self.out_shape
+        Hin = x.shape[-2]
+        BL, halo = self.BL, self.halo
+        a, b = self.stride, self.phases
+        Win = x.shape[-1]
+        cdt = self.compute_dtype
+
+        mix_first = og * BL <= ig
+        xg = x.reshape(B, g, ig, Hin, Win)
+        if mix_first:
+            # u (B, g*og, K, Hin, Win)
+            u = jnp.einsum("goik,bgihw->bgokhw", w.astype(x.dtype), xg).reshape(B, g * og, K, Hin, Win)
+        else:
+            u = x.reshape(B, g * ig, Hin, Win)
+
+        if self.polar_rows:
+            band_rows_p = self.band_start[np.asarray(self.polar_rows)][:, None] + np.arange(BL)[None, :]
+            xb_p = xg[:, :, :, band_rows_p.reshape(-1), :].reshape(B, g, ig, len(self.polar_rows), BL, Win)
+            xb_p = jnp.transpose(xb_p, (0, 3, 1, 2, 4, 5))  # (B, P, g, ig, BL, Win)
+            pstate = self._polar_fused_prelude(xb_p, w)
+
+        # dense per-(phase, shift) latitude tables: (b, K, WW, Hout, Hin)
+        dense = self._dense_lat_tables()
+
+        phase_outputs = []
+        for p in range(b):
+            base = int(self.bases[p])
+            xs = jnp.roll(u, -(base - halo), axis=-1)
+            n_out_p = Wout // b
+            needed = (n_out_p - 1) * a + self.WW
+            if needed > Win:
+                xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
+            xs = xs.astype(cdt)
+            y_p = None
+            for s in range(self.WW):
+                Pd = jnp.asarray(dense[p, :, s]).astype(cdt)  # (K, Hout, Hin)
+                # window shift s at output stride a; xs is padded to
+                # (n_out_p - 1) * a + WW so the slice always covers n_out_p
+                us = xs[..., s : s + (n_out_p - 1) * a + 1 : a]
+                if mix_first:
+                    term = jnp.einsum("khi,bckiw->bchw", Pd, us)
+                else:
+                    term = jnp.einsum("khi,bciw->bckhw", Pd, us)
+                y_p = term if y_p is None else y_p + term
+            if not mix_first:
+                # y_p (B, g*ig, K, Hout, n_out_p) -> mix over (ig, k)
+                y_p = jnp.einsum("goik,bgikhw->bgohw", w.astype(y_p.dtype), y_p.reshape(B, g, ig, K, Hout, n_out_p))
+                y_p = y_p.reshape(B, g * og, Hout, n_out_p)
+            if self.polar_rows:
+                y_p = self._polar_fused_phase(pstate, p, n_out_p, y_p)
+            phase_outputs.append(y_p)
+
+        y = jnp.stack(phase_outputs, axis=-1)
+        return y.reshape(B, g * og, Hout, Wout)
+
+    def _dense_lat_tables(self) -> np.ndarray:
+        """Scatter psi_band (b, K, Hout, BL, WW) into dense latitude matrices
+        (b, K, WW, Hout, Hin); polar rows are already zeroed in psi_band."""
+        if getattr(self, "_dense_cache", None) is not None:
+            return self._dense_cache
+        b, K = self.phases, self.psi_band.shape[1]
+        Hout = self.psi_band.shape[2]
+        Hin = self.in_shape[0]
+        BL, WW = self.BL, self.WW
+        out = np.zeros((b, K, WW, Hout, Hin), np.float32)
+        hh = np.arange(Hout)[:, None]
+        ii = self.band_start[:, None] + np.arange(BL)[None, :]  # (Hout, BL)
+        # psi_band (b, K, Hout, BL, WW) -> (b, K, WW, Hout, BL)
+        src = np.transpose(self.psi_band, (0, 1, 4, 2, 3))
+        out[:, :, :, hh, ii] = src
+        self._dense_cache = out
+        return out
 
     def _fused_taps(self, x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         """Tap-loop variant: BL shifted-row lat-gathers, WW strided tap
@@ -821,8 +962,6 @@ class DiscoConvS2:
             band_rows_p = self.band_start[rows][:, None] + np.arange(BL)[None, :]  # (P, BL)
             xb_p = xg[:, :, :, band_rows_p.reshape(-1), :].reshape(B, g, ig, P, BL, Win)
             xb_p = jnp.transpose(xb_p, (0, 3, 1, 2, 4, 5))  # (B, P, g, ig, BL, Win)
-            keep = np.ones((Hout,), np.float32)
-            keep[rows] = 0.0
             onehot = np.zeros((P, Hout), np.float32)
             onehot[np.arange(P), rows] = 1.0
 
@@ -872,9 +1011,9 @@ class DiscoConvS2:
                     feature_group_count=P * g,
                 )  # (B, P*g*og, n_out_p)
                 y_pp = out_p.reshape(B, P, g * og, n_out_p).transpose(0, 2, 1, 3)
-                y_p = y_p * jnp.asarray(keep, y_p.dtype)[None, None, :, None] + jnp.einsum(
-                    "ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype)
-                )
+                # no keep-mask: psi_band is zeroed at polar rows, so the
+                # banded path already wrote exact zeros there
+                y_p = y_p + jnp.einsum("ph,bcpw->bchw", jnp.asarray(onehot, y_p.dtype), y_pp.astype(y_p.dtype))
             phase_outputs.append(y_p)
 
         y = jnp.stack(phase_outputs, axis=-1)  # (B, Cout, Hout, n_out_p, b)

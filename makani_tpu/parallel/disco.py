@@ -63,6 +63,9 @@ class DistributedDiscoConvS2(DiscoConvS2):
     # (B, C, K, H, W) responses to run the channel-mix einsum globally
     # (15.6 GB of all-gathers in the 0.25-deg FCN3 census, PERF.md round 4)
     supports_fused = True
+    # the distributed __call__ runs its own shard_map body and has no
+    # separated polar-rows variant; DiscoConv falls back to the combined t
+    supports_split = False
 
     def __init__(self, *args, h_axis="h", w_axis="w", **kwargs):
         super().__init__(*args, **kwargs)

@@ -95,7 +95,7 @@ def test_disco_constant_field_isotropy():
     assert np.abs(t[0, 0, 3, mid]).max() < np.abs(t[0, 0, 0, mid]).max() * 0.2
 
 
-@pytest.mark.parametrize("variant", ["window", "taps"])
+@pytest.mark.parametrize("variant", ["window", "taps", "dense"])
 @pytest.mark.parametrize("channels", [(3, 2, 4), (2, 1, 8)])
 @pytest.mark.parametrize("shapes", [((16, 32), (16, 32)), ((17, 36), (12, 24)), ((24, 48), (24, 48))])
 def test_fused_weight_path_matches_two_stage(shapes, channels, variant, monkeypatch):
