@@ -67,7 +67,14 @@ class DiscoConv(nn.Module):
         g = self.groups
         K = self.conv_op.K
         cin_g, cout_g = self.in_channels // g, self.out_channels // g
-        std = math.sqrt(self.gain / (cin_g * K))
+        # init std compensates the per-basis L1 response mass of the psi
+        # tables (the smooth-input gain), so the conv output is O(<=1) at
+        # init under ANY basis_norm_mode. For "mean"-normalized bases every
+        # mass is 1 and this is exactly sqrt(gain / (cin*K)); for "nodal"
+        # (FCN3.1's convention) the masses grow ~sqrt(support) and the
+        # uncompensated init amplified ~3x per step (round-4 verdict).
+        mass_sq = float(np.sum(np.square(getattr(self.conv_op, "init_mass", np.ones(K)))))
+        std = math.sqrt(self.gain / (cin_g * max(mass_sq, 1e-12)))
         w = self.param("weight", nn.initializers.normal(stddev=std), (g, cout_g, cin_g, K), jnp.float32)
 
         xin = jnp.transpose(x, (0, 3, 1, 2)) if self.channels_last else x

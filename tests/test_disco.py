@@ -95,15 +95,20 @@ def test_disco_constant_field_isotropy():
     assert np.abs(t[0, 0, 3, mid]).max() < np.abs(t[0, 0, 0, mid]).max() * 0.2
 
 
-@pytest.mark.parametrize("variant", ["window", "taps", "dense"])
+@pytest.mark.parametrize("variant", ["window", "taps", "dense", "dense_tile4", "dense_tile64"])
 @pytest.mark.parametrize("channels", [(3, 2, 4), (2, 1, 8)])
 @pytest.mark.parametrize("shapes", [((16, 32), (16, 32)), ((17, 36), (12, 24)), ((24, 48), (24, 48))])
 def test_fused_weight_path_matches_two_stage(shapes, channels, variant, monkeypatch):
     """DiscoConvS2.fused (weights pre-contracted into the conv filters) must
     reproduce the two-stage responses-then-mix path, values and grads —
-    for both formulations (MAKANI_DISCO_FUSED=window|taps). The two channel
+    for every formulation (MAKANI_DISCO_FUSED=window|taps|dense, and the
+    per-band blocked dense tiling MAKANI_DISCO_DENSE_TILE — tile 4 exercises
+    many ragged tiles, tile 64 a single covering tile). The two channel
     configs pick the two polar-FFT contraction orders (og*BL vs ig):
     (3,2,4) runs psi-first (encoder-like), (2,1,8) mix-first (decoder-like)."""
+    if variant.startswith("dense_tile"):
+        monkeypatch.setenv("MAKANI_DISCO_DENSE_TILE", variant[len("dense_tile"):])
+        variant = "dense"
     monkeypatch.setenv("MAKANI_DISCO_FUSED", variant)
     in_shape, out_shape = shapes
     kernel_shape = (3, 3)
