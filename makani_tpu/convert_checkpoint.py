@@ -395,6 +395,40 @@ def inject_adam_state(opt_state, converted: dict, params_tree):
     return jax.tree_util.tree_map(fix, opt_state, is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState))
 
 
+def _guard_th_basis(target_cfg, allow_rederived: bool = False) -> None:
+    """Refuse a silent torch-harmonics-convention import.
+
+    The reference's DISCO models bind torch-harmonics filter bases at runtime
+    (ref makani/models/networks/fourcastnet3.py:189-205; the published recipe
+    pins the basis via config, ref config/fourcastnet3.yaml:34). Importing
+    such a checkpoint with this repo's *re-derived* basis is convention-exact
+    only for the torch-harmonics version the derivation was checked against;
+    a version drift would silently corrupt the imported filters. So a
+    th-convention import must carry either a tabulated basis exported from
+    the SOURCE install (``filter_basis_table``) or an explicit
+    ``--allow_rederived_basis`` acknowledgement.
+    """
+    if allow_rederived:
+        return
+    if target_cfg is None:
+        raise SystemExit(
+            "convert_checkpoint: importing a DISCO-family checkpoint needs "
+            "--yaml_config/--config so the filter-basis convention can be "
+            "checked (or pass --allow_rederived_basis to skip the check)."
+        )
+    basis = target_cfg.get("filter_basis_type", None)
+    table = target_cfg.get("filter_basis_table", None)
+    if isinstance(basis, str) and basis.endswith(" th") and not table:
+        raise SystemExit(
+            f"convert_checkpoint: the target config requests the torch-harmonics "
+            f"basis convention ({basis!r}) but sets no filter_basis_table. "
+            f"Export the source install's basis (scripts/export_th_filter_basis.py, "
+            f"protocol in docs/th_basis_import.md) and set filter_basis_table in "
+            f"the config, or pass --allow_rederived_basis to accept the in-repo "
+            f"re-derivation."
+        )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--input", required=True, help="makani torch checkpoint (.tar)")
@@ -407,6 +441,17 @@ def main():
         action="store_true",
         help="target model uses channels-first internals (channels_last=False); affects pos_embed layout",
     )
+    parser.add_argument(
+        "--allow_rederived_basis",
+        action="store_true",
+        help="import a torch-harmonics-convention DISCO checkpoint WITHOUT a "
+        "tabulated basis (filter_basis_table), trusting the in-repo "
+        "re-derivation of the th basis conventions. The re-derivations are "
+        "parity-tested against dense references, but torch-harmonics itself "
+        "drifts across versions — for an exact import, export the source "
+        "install's basis with scripts/export_th_filter_basis.py and set "
+        "filter_basis_table in the target config (see docs/th_basis_import.md).",
+    )
     args = parser.parse_args()
 
     import os
@@ -416,10 +461,13 @@ def main():
     state = load_torch_checkpoint(args.input)
     if args.nettype.upper() in ("FCN3", "FCN3.1", "SNO"):
         target = None
+        target_cfg = None
         if args.yaml_config and args.config:
             from makani_tpu.utils.yparams import YParams
 
-            target = target_shapes_for(YParams(args.yaml_config, args.config))
+            target_cfg = YParams(args.yaml_config, args.config)
+            target = target_shapes_for(target_cfg)
+        _guard_th_basis(target_cfg, allow_rederived=args.allow_rederived_basis)
         params = convert_disco_state_dict(state, target_shapes=target)
     else:
         params = convert_sfno_state_dict(state, channels_last=not args.channels_first)

@@ -91,3 +91,56 @@ def test_convert_sfno_checkpoint(tmp_path):
     # converted params drive the model to a finite output
     y = model.apply(jax.tree_util.tree_map(jnp.asarray, converted), jnp.ones((1, 5, H, W)))
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_th_basis_guard_blocks_rederived_import(tmp_path):
+    """convert_checkpoint must refuse a th-convention DISCO import that has
+    no tabulated basis and no explicit override (docs/th_basis_import.md)."""
+    from makani_tpu.convert_checkpoint import _guard_th_basis
+    from makani_tpu.utils.yparams import ParamsBase
+
+    cfg = ParamsBase(dict(filter_basis_type="morlet th"))
+    with pytest.raises(SystemExit):
+        _guard_th_basis(cfg, allow_rederived=False)
+    # missing config entirely is also a refusal
+    with pytest.raises(SystemExit):
+        _guard_th_basis(None, allow_rederived=False)
+    # explicit override passes
+    _guard_th_basis(cfg, allow_rederived=True)
+    _guard_th_basis(None, allow_rederived=True)
+    # native (non-th) basis conventions pass without a table
+    _guard_th_basis(ParamsBase(dict(filter_basis_type="morlet")))
+    # a th convention WITH a table passes
+    cfg_tab = ParamsBase(dict(filter_basis_type="morlet th", filter_basis_table=str(tmp_path / "b.npz")))
+    _guard_th_basis(cfg_tab)
+
+
+def test_th_basis_table_schema_roundtrip(tmp_path):
+    """A table following the export schema (docs/th_basis_import.md) loads,
+    registers, and reproduces its own values through the interpolator."""
+    from makani_tpu.ops.disco import _tabulated_values, load_basis_table
+
+    K, Nr, Na = 3, 64, 32
+    rng = np.random.RandomState(0)
+    r = np.linspace(0.0, 0.05, Nr)
+    alpha = np.arange(Na) * (2 * np.pi / Na)
+    vals = rng.randn(K, Nr, Na)
+    path = tmp_path / "synthetic_3x.npz"
+    np.savez_compressed(
+        path,
+        vals=vals,
+        r=r,
+        alpha=alpha,
+        r_cutoff=np.float64(0.05),
+        basis_type=np.bytes_(b"synthetic"),
+        kernel_shape=np.asarray([3]),
+        th_version=np.bytes_(b"test"),
+    )
+    basis_type = load_basis_table(str(path))
+    assert basis_type.startswith("tabulated:")
+    name = basis_type.split(":", 1)[1]
+    # interpolation at the table's own nodes reproduces the values exactly
+    rr = np.broadcast_to(r[:, None], (Nr, Na)).ravel()
+    aa = np.broadcast_to(alpha[None, :], (Nr, Na)).ravel()
+    got = _tabulated_values(rr, aa, name)
+    np.testing.assert_allclose(got.reshape(K, Nr, Na), vals, rtol=0, atol=1e-12)
