@@ -164,3 +164,22 @@ def test_two_process_matmul_split(tmp_path):
     assert multi[0]["train_loss"] == pytest.approx(multi[1]["train_loss"], rel=1e-6)
     assert multi[0]["train_loss"] == pytest.approx(single[0]["train_loss"], rel=2e-4)
     assert multi[0]["valid_loss"] == pytest.approx(single[0]["valid_loss"], rel=2e-4)
+
+
+@pytest.mark.slow
+def test_four_process_losses_and_metrics_parity(tmp_path):
+    """Distributed losses/metrics across 4 REAL processes (VERDICT r4 item 9):
+    ensemble/batch reductions and spatial quadrature partial sums cross gloo
+    collectives, and every rank must agree with the single-process values."""
+    multi = _run_world(4, str(tmp_path / "mh"), mode="loss")
+    single = _run_world(1, str(tmp_path / "sp"), mode="loss")
+
+    assert multi[0]["nproc"] == 4 and len(multi) == 4
+    keys = [k for k in single[0] if k.startswith(("loss_", "metric_"))]
+    assert len(keys) >= 9
+    for k in keys:
+        # all ranks replicate the value
+        for r in range(1, 4):
+            assert multi[r][k] == pytest.approx(multi[0][k], rel=1e-6), k
+        # and the 4-process world matches single-process math
+        assert multi[0][k] == pytest.approx(single[0][k], rel=2e-5, abs=1e-6), k
