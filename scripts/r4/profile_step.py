@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tag", default=os.environ.get("BENCH_NETTYPE", "SFNO"))
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--json", default=None, help="also dump {op: [total_us, count]} to this path")
     args = ap.parse_args()
 
     # reuse bench.py's full setup by running its main() with tiny
@@ -101,6 +102,9 @@ def main():
         dur[name] += e.get("dur", 0)
         cnt[name] += 1
         total += e.get("dur", 0)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({n: [dur[n], cnt[n]] for n in dur}, f)
     print(f"\n== top {args.top} device ops ({args.tag}); total op time {total/1e3:.1f} ms ==")
     print(f"{'ms':>10} {'%':>6} {'count':>6}  op")
     for n, d in dur.most_common(args.top):

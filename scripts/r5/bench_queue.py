@@ -1,0 +1,89 @@
+"""Serial round-5 measurement queue on the single TPU chip.
+
+Runs the VERDICT r4 measurement matrix one config at a time (the chip is a
+shared single device — parallel runs corrupt timings), appending one JSON
+line per config to the results file. Each config runs as a subprocess of
+bench.py with BENCH_EXTRA=0 so a crash/OOM records an error row instead of
+killing the queue.
+
+Usage: python scripts/r5/bench_queue.py [--out /tmp/r5_queue.jsonl] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+FCN3_BASE = {
+    "BENCH_NETTYPE": "FCN3",
+    "BENCH_CHECKPOINTING": "3",
+    "BENCH_SCAN": "8",
+    "MAKANI_DISCO_BF16": "1",
+}
+
+CONFIGS = {
+    # FCN3 B=2: the dense window removed the banded gather whose 10.2 GB XLA
+    # relayout blocked B=2 in round 4 — does it fit now?
+    "fcn3_b2": {**FCN3_BASE, "BENCH_BATCH": "2"},
+    # per-band blocked dense GEMMs: FLOP inflation (stride*T+BL)/BL instead
+    # of Hin/BL; T trades MXU M-occupancy against inflation
+    "fcn3_tile64": {**FCN3_BASE, "BENCH_BATCH": "1", "MAKANI_DISCO_DENSE_TILE": "64"},
+    "fcn3_tile128": {**FCN3_BASE, "BENCH_BATCH": "1", "MAKANI_DISCO_DENSE_TILE": "128"},
+    # FCN3 at its published 0.25 deg pretraining resolution (ref
+    # config/fourcastnet3.yaml:219-221: h2 x w2 on 80 GB GPUs)
+    "fcn3_quarterdeg": {
+        **FCN3_BASE,
+        "BENCH_BATCH": "1",
+        "BENCH_NLAT": "721",
+        "BENCH_NLON": "1440",
+        "BENCH_SCAN": "4",
+        "BENCH_STEPS": "2",
+    },
+    # FCN3.1 and SNO: channels-last landed round 4, zero numbers exist
+    "fcn31": {"BENCH_NETTYPE": "FCN3.1", "BENCH_BATCH": "1", "BENCH_SCAN": "8"},
+    "sno": {"BENCH_NETTYPE": "SNO", "BENCH_BATCH": "1", "BENCH_CHECKPOINTING": "3", "BENCH_SCAN": "8", "MAKANI_DISCO_BF16": "1"},
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/r5_queue.jsonl")
+    ap.add_argument("--timeout", type=int, default=3000)
+    ap.add_argument("names", nargs="*", default=[])
+    args = ap.parse_args()
+    names = args.names or list(CONFIGS)
+
+    for name in names:
+        cfg = CONFIGS[name]
+        env = dict(os.environ, BENCH_EXTRA="0", **cfg)
+        t0 = time.time()
+        row = {"name": name, "cfg": cfg}
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(ROOT, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=args.timeout,
+            )
+            line = next((l for l in reversed(p.stdout.strip().splitlines()) if l.startswith("{")), None)
+            if p.returncode == 0 and line:
+                row["result"] = json.loads(line)
+            else:
+                tail = (p.stderr or p.stdout or "").strip().splitlines()
+                row["error"] = f"rc={p.returncode}"
+                row["tail"] = " | ".join(tail[-6:])[-1200:]
+        except subprocess.TimeoutExpired:
+            row["error"] = f"timeout>{args.timeout}s"
+        row["wall_s"] = round(time.time() - t0, 1)
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
