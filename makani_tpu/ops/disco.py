@@ -908,15 +908,21 @@ class DiscoConvS2:
         # device-constant cost at 0.25 deg). T=0 (default) = full dense.
         tile = int(_os.environ.get("MAKANI_DISCO_DENSE_TILE", "0") or 0)
 
+        # ONE wrapped copy of u covering every (phase, shift) window, sliced
+        # with static offsets per phase — the previous per-phase jnp.roll
+        # materialized b full copies of u (617 MB each at the 0.5-deg B=2
+        # atmo decoder; the margin by which B=2 OOMed was 0.4 GB)
+        n_out_p = Wout // b
+        span = (n_out_p - 1) * a + self.WW
+        offs = [int(self.bases[p]) - halo for p in range(b)]
+        left = max(0, -min(offs))
+        right = max(0, max(o + span for o in offs) - Win)
+        parts = ([u[..., Win - left :]] if left else []) + [u] + ([u[..., :right]] if right else [])
+        up = (jnp.concatenate(parts, axis=-1) if (left or right) else u).astype(cdt)
+
         phase_outputs = []
         for p in range(b):
-            base = int(self.bases[p])
-            xs = jnp.roll(u, -(base - halo), axis=-1)
-            n_out_p = Wout // b
-            needed = (n_out_p - 1) * a + self.WW
-            if needed > Win:
-                xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
-            xs = xs.astype(cdt)
+            off = offs[p] + left
             if tile > 0:
                 tiles = []
                 for h0 in range(0, Hout, tile):
@@ -926,7 +932,7 @@ class DiscoConvS2:
                     y_t = None
                     for s in range(self.WW):
                         Pd = jnp.asarray(np.ascontiguousarray(dense[p, :, s, h0:h1, c0:c1])).astype(cdt)
-                        us = xs[..., s : s + (n_out_p - 1) * a + 1 : a][..., c0:c1, :]
+                        us = up[..., off + s : off + s + (n_out_p - 1) * a + 1 : a][..., c0:c1, :]
                         if mix_first:
                             term = jnp.einsum("khi,bckiw->bchw", Pd, us)
                         else:
@@ -938,9 +944,9 @@ class DiscoConvS2:
                 y_p = None
                 for s in range(self.WW):
                     Pd = jnp.asarray(dense[p, :, s]).astype(cdt)  # (K, Hout, Hin)
-                    # window shift s at output stride a; xs is padded to
-                    # (n_out_p - 1) * a + WW so the slice always covers n_out_p
-                    us = xs[..., s : s + (n_out_p - 1) * a + 1 : a]
+                    # window shift s at output stride a; up covers every
+                    # phase offset so the slice always spans n_out_p columns
+                    us = up[..., off + s : off + s + (n_out_p - 1) * a + 1 : a]
                     if mix_first:
                         term = jnp.einsum("khi,bckiw->bchw", Pd, us)
                     else:

@@ -54,9 +54,15 @@ def _relu0(x):
 
 
 def _crps_cdf_kernel(obs, forecasts_sorted):
-    """CDF-integration CRPS; forecasts_sorted: (..., E) ascending, obs (...)."""
-    E = forecasts_sorted.shape[-1]
-    fc = jnp.moveaxis(forecasts_sorted, -1, 0)  # (E, ...)
+    """CDF-integration CRPS; forecasts_sorted: (E, ...) ascending, obs (...).
+
+    All kernels here take the ensemble on axis 0 (E-first): on TPU a
+    minormost ensemble axis of size E tile-pads E -> 128 lanes (a 16x HBM
+    blowup at E=8 — the sort's u32 permutation residual alone was 9 GB at
+    the 0.5-deg ensemble bench before this layout), while E-first keeps the
+    longitude dim minormost and pads nothing."""
+    E = forecasts_sorted.shape[0]
+    fc = forecasts_sorted
 
     def body(carry, forecast):
         obs_cdf, forecast_cdf, prev_forecast, integral = carry
@@ -73,42 +79,52 @@ def _crps_cdf_kernel(obs, forecasts_sorted):
     return integral + _relu0(obs - last)
 
 
+def _rank_coeffs(ranks, ndim):
+    """(E,) rank coefficients broadcast against (E, ...) tensors."""
+    return ranks.reshape((-1,) + (1,) * (ndim - 1))
+
+
 def _crps_skillspread(obs, forecasts_sorted, alpha: float):
-    E = forecasts_sorted.shape[-1]
+    """forecasts_sorted: (E, ...) ascending."""
+    E = forecasts_sorted.shape[0]
     ranks = jnp.arange(1, E + 1, dtype=forecasts_sorted.dtype)
+    coeff = _rank_coeffs(2.0 * ranks - E - 1.0, forecasts_sorted.ndim)
     espread = (
         2.0
-        * jnp.mean((2.0 * ranks - E - 1.0) * forecasts_sorted, axis=-1)
+        * jnp.mean(coeff * forecasts_sorted, axis=0)
         * (E - 1.0 + alpha)
         / (E * (E - 1.0))
     ) if E > 1 else jnp.zeros_like(obs)
-    eskill = jnp.mean(_abs_sym(obs[..., None] - forecasts_sorted), axis=-1)
+    eskill = jnp.mean(_abs_sym(obs[None] - forecasts_sorted), axis=0)
     return eskill - 0.5 * espread
 
 
 def _crps_naive_skillspread(obs, forecasts, alpha: float):
-    E = forecasts.shape[-1]
+    """forecasts: (E, ...) (unsorted is fine — pairwise form)."""
+    E = forecasts.shape[0]
     if E > 1:
-        diffs = _abs_sym(forecasts[..., :, None] - forecasts[..., None, :])
-        espread = jnp.sum(diffs, axis=(-2, -1)) * (E - 1.0 + alpha) / (E * E * (E - 1.0))
+        diffs = _abs_sym(forecasts[:, None] - forecasts[None, :])
+        espread = jnp.sum(diffs, axis=(0, 1)) * (E - 1.0 + alpha) / (E * E * (E - 1.0))
     else:
         espread = 0.0
-    eskill = jnp.mean(_abs_sym(obs[..., None] - forecasts), axis=-1)
+    eskill = jnp.mean(_abs_sym(obs[None] - forecasts), axis=0)
     return eskill - 0.5 * espread
 
 
 def _crps_pwm(obs, forecasts_sorted):
-    E = forecasts_sorted.shape[-1]
-    ranks = jnp.arange(E, dtype=forecasts_sorted.dtype)
-    beta0 = jnp.mean(forecasts_sorted, axis=-1)
-    beta1 = jnp.sum(ranks * forecasts_sorted, axis=-1) / (E * (E - 1.0)) if E > 1 else beta0 * 0
-    eskill = jnp.mean(_abs_sym(obs[..., None] - forecasts_sorted), axis=-1)
+    """forecasts_sorted: (E, ...) ascending."""
+    E = forecasts_sorted.shape[0]
+    ranks = _rank_coeffs(jnp.arange(E, dtype=forecasts_sorted.dtype), forecasts_sorted.ndim)
+    beta0 = jnp.mean(forecasts_sorted, axis=0)
+    beta1 = jnp.sum(ranks * forecasts_sorted, axis=0) / (E * (E - 1.0)) if E > 1 else beta0 * 0
+    eskill = jnp.mean(_abs_sym(obs[None] - forecasts_sorted), axis=0)
     return eskill + beta0 - 2.0 * beta1
 
 
 def _crps_gauss(obs, forecasts, eps: float):
-    mu = jnp.mean(forecasts, axis=-1)
-    sigma = jnp.sqrt(jnp.mean(jnp.square(forecasts - mu[..., None]), axis=-1))
+    """forecasts: (E, ...)."""
+    mu = jnp.mean(forecasts, axis=0)
+    sigma = jnp.sqrt(jnp.mean(jnp.square(forecasts - mu[None]), axis=0))
     sigma = jnp.maximum(sigma, eps)
     z = (obs - mu) / sigma
     sqrtpi_inv = 1.0 / np.sqrt(np.pi)
@@ -117,10 +133,15 @@ def _crps_gauss(obs, forecasts, eps: float):
     return sigma * (z * cdf2m1 + 2.0 * pdf - sqrtpi_inv)
 
 
-def crps_ensemble(obs, forecasts, crps_type: str = "skillspread", alpha: float = 1.0, eps: float = 1e-5):
-    """Pointwise CRPS. obs (...), forecasts (..., E) (unsorted)."""
+def crps_ensemble(obs, forecasts, crps_type: str = "skillspread", alpha: float = 1.0, eps: float = 1e-5, ensemble_axis: int = -1):
+    """Pointwise CRPS. obs (...), forecasts with the ensemble on
+    ``ensemble_axis`` (unsorted). The computation runs E-first (ensemble on
+    axis 0) so the spatial minor dim keeps the TPU lane tiling — pass
+    ``ensemble_axis=1`` for (B, E, C, H, W) inputs rather than transposing
+    the ensemble minormost yourself (see _crps_cdf_kernel docstring)."""
+    forecasts = jnp.moveaxis(forecasts, ensemble_axis, 0)
     if crps_type in ("cdf", "skillspread", "probability weighted moment"):
-        forecasts = jnp.sort(forecasts, axis=-1)
+        forecasts = jnp.sort(forecasts, axis=0)
     if crps_type == "cdf":
         return _crps_cdf_kernel(obs, forecasts)
     if crps_type == "skillspread":
@@ -174,7 +195,7 @@ def crps_ensemble_manual_a2a(
         chunk = obs_l.shape[-2] // ne
         obs_x = jax.lax.dynamic_slice_in_dim(obs_l, eidx * chunk, chunk, axis=-2)
         qw_x = jax.lax.dynamic_slice_in_dim(qw_l, eidx * chunk, chunk, axis=0)
-        crps = crps_ensemble(obs_x, jnp.moveaxis(ens_x, 1, -1), crps_type, alpha, eps)
+        crps = crps_ensemble(obs_x, ens_x, crps_type, alpha, eps, ensemble_axis=1)
         part = jnp.sum(crps * qw_x, axis=(-2, -1))  # (B, C)
         return jax.lax.psum(part, ("ensemble", "h", "w"))
 
@@ -221,8 +242,7 @@ class CRPSLoss(GeometricBaseLoss):
                 observations, forecasts, jnp.asarray(qw), self.crps_type, self.alpha, self.eps
             )
             return crps.reshape(forecasts.shape[0], -1)
-        ens_last = jnp.moveaxis(forecasts, 1, -1)  # (B, C, H, W, E)
-        crps = crps_ensemble(observations, ens_last, self.crps_type, self.alpha, self.eps)
+        crps = crps_ensemble(observations, forecasts, self.crps_type, self.alpha, self.eps, ensemble_axis=1)
         if wgt is not None:
             crps = crps * wgt
         return self.quadrature(crps).reshape(forecasts.shape[0], -1)
@@ -248,8 +268,7 @@ class SpectralCRPSLoss(SpectralBaseLoss):
         fc2 = fc2.reshape(B, E, *fc2.shape[1:])  # (B, E, C, L, M, 2)
         ob2 = self.sht.analysis(observations.astype(jnp.float32))  # (B, C, L, M, 2)
 
-        ens_last = jnp.moveaxis(fc2, 1, -1)  # (B, C, L, M, 2, E)
-        crps = _crps_naive_skillspread(ob2, ens_last, self.alpha)  # (B, C, L, M, 2)
+        crps = _crps_naive_skillspread(ob2, jnp.moveaxis(fc2, 1, 0), self.alpha)  # (B, C, L, M, 2)
         crps = jnp.sum(crps, axis=-1)  # sum re+im parts
         crps = crps * jnp.asarray(self.mode_weights)
         return jnp.sum(crps, axis=(-2, -1)).reshape(B, -1)

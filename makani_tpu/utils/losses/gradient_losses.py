@@ -77,7 +77,7 @@ class GradientCRPSLoss:
             raise ValueError(f"forecasts must be 5D (B, E, C, H, W), got {forecasts.ndim}D")
         fc = self._gradient(forecasts)
         ob = self._gradient(observations)
-        crps = crps_ensemble(ob, jnp.moveaxis(fc, 1, -1), self.crps_type, self.alpha, self.eps)
+        crps = crps_ensemble(ob, fc, self.crps_type, self.alpha, self.eps, ensemble_axis=1)
         if wgt is not None:
             crps = crps * wgt
         return self.quadrature(crps).reshape(forecasts.shape[0], -1)
@@ -130,7 +130,7 @@ class VortDivCRPSLoss:
             raise ValueError(f"forecasts must be 5D (B, E, C, H, W), got {forecasts.ndim}D")
         fc = self._project_wind(forecasts)
         ob = self._project_wind(observations)
-        crps = crps_ensemble(ob, jnp.moveaxis(fc, 1, -1), self.crps_type, self.alpha, self.eps)
+        crps = crps_ensemble(ob, fc, self.crps_type, self.alpha, self.eps, ensemble_axis=1)
         if wgt is not None:
             crps = crps * wgt
         return self.quadrature(crps).reshape(forecasts.shape[0], -1)

@@ -57,15 +57,16 @@ def weighted_acc(prd, tar, quad, clim=None, mask=None, eps: float = 1e-8):
 def _crps_kernel_sorted(ens_sorted, obs):
     """CRPS via the probability-weighted-moment (PWM) form on a sorted
     ensemble (ref crps_loss.py:55-120 computes the same integral by CDF
-    integration). ens_sorted: (..., E) ascending; obs: (...)."""
-    E = ens_sorted.shape[-1]
+    integration). ens_sorted: (E, ...) ascending; obs: (...). E-first layout:
+    a minormost E tile-pads E -> 128 lanes on TPU (16x HBM at E=8)."""
+    E = ens_sorted.shape[0]
     # E[|X - y|]
-    term1 = jnp.mean(jnp.abs(ens_sorted - obs[..., None]), axis=-1)
+    term1 = jnp.mean(jnp.abs(ens_sorted - obs[None]), axis=0)
     # E|X - X'| via the sorted-rank identity: 2/(E*(E-1)) * sum_i (2i - E + 1) x_(i)
     ranks = jnp.arange(E, dtype=ens_sorted.dtype)
-    coeff = 2.0 * ranks - E + 1.0
+    coeff = (2.0 * ranks - E + 1.0).reshape((-1,) + (1,) * (ens_sorted.ndim - 1))
     if E > 1:
-        term2 = jnp.sum(coeff * ens_sorted, axis=-1) / (E * (E - 1.0))
+        term2 = jnp.sum(coeff * ens_sorted, axis=0) / (E * (E - 1.0))
     else:
         term2 = jnp.zeros_like(term1)
     return term1 - term2
@@ -78,18 +79,17 @@ def ensemble_crps(ens, obs, quad, fair: bool = True, mask=None):
     (fair) estimator with the 1/(E-1) spread term; ``fair=False`` uses 1/E.
     Returns (B, C).
     """
-    ens_sorted = jnp.sort(ens, axis=1)
-    ens_last = jnp.moveaxis(ens_sorted, 1, -1)  # (B, C, H, W, E)
-    crps = _crps_kernel_sorted(ens_last, obs)
+    ens_sorted = jnp.moveaxis(jnp.sort(ens, axis=1), 1, 0)  # (E, B, C, H, W)
+    crps = _crps_kernel_sorted(ens_sorted, obs)
     if not fair:
         E = ens.shape[1]
         # convert the fair spread term to the biased 1/E^2 normalization
         ranks = jnp.arange(E, dtype=ens.dtype)
-        coeff = 2.0 * ranks - E + 1.0
+        coeff = (2.0 * ranks - E + 1.0).reshape((-1,) + (1,) * (ens_sorted.ndim - 1))
         # biased = term1 - S/E^2 vs fair = term1 - S/(E(E-1)) with
         # S = sum_i (2i - E + 1) x_(i); subtracting LESS spread, so the
         # correction is + S (1/(E(E-1)) - 1/E^2)
-        corr = jnp.sum(coeff * ens_last, axis=-1) * (1.0 / (E * (E - 1.0)) - 1.0 / (E * E)) if E > 1 else 0.0
+        corr = jnp.sum(coeff * ens_sorted, axis=0) * (1.0 / (E * (E - 1.0)) - 1.0 / (E * E)) if E > 1 else 0.0
         crps = crps + corr
     return quad(_mask_weight(crps, mask))
 
@@ -110,9 +110,9 @@ def ensemble_rank_histogram(ens, obs, quad):
     The explicit sort+searchsorted is replaced by the rank count
     ``sum(member <= obs)``, which is identical and avoids the sort.
     """
-    import jax
-
     E = ens.shape[1]
     ranks = jnp.sum(ens <= obs[:, None], axis=1)  # (B, C, H, W) in [0, E]
-    onehot = jax.nn.one_hot(ranks, E + 1, dtype=jnp.float32)  # (B, C, H, W, E+1)
-    return quad(jnp.moveaxis(onehot, -1, -3))  # (B, C, E+1)
+    # per-rank masks instead of a one_hot with a minormost E+1 axis (which
+    # tile-pads E+1 -> 128 lanes on TPU, a ~7x HBM blowup at full resolution)
+    rows = [quad((ranks == r).astype(jnp.float32)) for r in range(E + 1)]
+    return jnp.stack(rows, axis=-1)  # (B, C, E+1)
