@@ -97,6 +97,25 @@ def test_crps_kernels_agree():
     np.testing.assert_allclose(a, c, atol=1e-5)
 
 
+def test_crps_ensemble_axis_equivalence():
+    """crps_ensemble(ensemble_axis=k) == the default trailing-axis call, value
+    AND gradient — pins the E-first layout rewrite (the TPU lane-padding fix)
+    against the reference-ordered formulation."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    obs = jnp.asarray(rng.randn(2, 3, 4, 6).astype(np.float32))
+    ens_bechw = jnp.asarray(rng.randn(2, 5, 3, 4, 6).astype(np.float32))  # (B,E,C,H,W)
+    ens_last = jnp.moveaxis(ens_bechw, 1, -1)
+    for kind in ["cdf", "skillspread", "naive skillspread", "probability weighted moment", "gauss"]:
+        f_ax = lambda e: jnp.sum(crps_ensemble(obs, e, kind, alpha=0.7, ensemble_axis=1))
+        f_def = lambda e: jnp.sum(crps_ensemble(obs, e, kind, alpha=0.7))
+        v1, g1 = jax.value_and_grad(f_ax)(ens_bechw)
+        v2, g2 = jax.value_and_grad(f_def)(ens_last)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6, err_msg=kind)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(jnp.moveaxis(g2, -1, 1)), atol=1e-6, err_msg=kind)
+
+
 def test_ensemble_trainer(tmp_path):
     from makani_tpu.utils.training.ensemble_trainer import EnsembleTrainer
 
