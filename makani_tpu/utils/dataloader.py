@@ -122,6 +122,12 @@ class BatchIterator:
         self.row_slice = row_slice
         self.process_local = row_slice is not None
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to a global epoch number (the reference's
+        DistributedSampler.set_epoch): makes batch order a pure function of
+        the epoch so a checkpoint-restart resumes the identical trajectory."""
+        self.epoch = int(epoch)
+
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size

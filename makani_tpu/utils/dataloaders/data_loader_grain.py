@@ -79,6 +79,11 @@ class GrainDataLoader:
 
         self._make_iter = make_iter
 
+    def set_epoch(self, epoch: int):
+        """Pin shuffle order to a global epoch number (reference
+        DistributedSampler.set_epoch) for checkpoint-restart reproducibility."""
+        self.epoch = int(epoch)
+
     def __len__(self):
         return len(self.dataset) // self.batch_size
 

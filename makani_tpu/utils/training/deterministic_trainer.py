@@ -298,6 +298,11 @@ class Trainer:
 
         while self.epoch < max_epochs:
             self.epoch += 1
+            # pin the shuffle order to the global epoch number so a
+            # checkpoint-restart resumes the identical batch sequence (the
+            # reference's DistributedSampler.set_epoch semantics)
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(self.epoch)
             train_logs = self.train_one_epoch()
             valid_logs = self.validate_one_epoch()
             logs = {**train_logs, **valid_logs, "epoch": self.epoch}

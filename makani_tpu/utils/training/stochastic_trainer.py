@@ -194,6 +194,8 @@ class StochasticTrainer:
         all_logs = []
         while self.epoch < max_epochs:
             self.epoch += 1
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(self.epoch)
             logs = {**self.train_one_epoch(), **self.validate_one_epoch(), "epoch": self.epoch}
             all_logs.append(logs)
             if self.world_rank == 0:
