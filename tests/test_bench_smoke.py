@@ -39,6 +39,15 @@ MODES = {
         "BENCH_CHECKPOINTING": "3",
     },
     "ensemble": {"BENCH_ENSEMBLE": "2"},
+    # the reference's flagship shape: DISCO-family model + folded ensemble-CRPS
+    "fcn3_ensemble": {
+        "BENCH_NETTYPE": "FCN3",
+        "BENCH_ATMO_EMBED": "8",
+        "BENCH_SURF_EMBED": "8",
+        "BENCH_AUX_EMBED": "8",
+        "BENCH_CHECKPOINTING": "3",
+        "BENCH_ENSEMBLE": "2",
+    },
 }
 
 
