@@ -55,6 +55,18 @@ CONFIGS = {
     "sfno_ens4": {"BENCH_ENSEMBLE": "4", "BENCH_CHECKPOINTING": "1", "BENCH_SCAN": "8"},
     "sfno_ens16": {"BENCH_ENSEMBLE": "16", "BENCH_CHECKPOINTING": "3", "BENCH_SCAN": "4", "BENCH_STEPS": "2"},
     "fcn3_ens2": {**FCN3_BASE, "BENCH_ENSEMBLE": "2", "BENCH_SCAN": "4", "BENCH_STEPS": "2"},
+    # --- round-5 follow-ups ---
+    # fcn31 with the FCN3-family memory knobs (the first attempt ran without
+    # ckpt/bf16-DISCO and OOMed — FCN3 needs both to fit at 0.5 deg)
+    "fcn31_fit": {**FCN3_BASE, "BENCH_NETTYPE": "FCN3.1", "BENCH_BATCH": "1"},
+    # ens4 at the bench-extra remat policy (the ckpt=1 row measured MFU 5.8%;
+    # per-member cost analysis matches deterministic, so the gap is schedule)
+    "sfno_ens4_st": {
+        "BENCH_ENSEMBLE": "4",
+        "BENCH_REMAT": "save_transforms_stats",
+        "BENCH_CHECKPOINTING": "0",
+        "BENCH_SCAN": "8",
+    },
 }
 
 
@@ -80,9 +92,16 @@ def main() -> int:
             if p.returncode == 0 and line:
                 row["result"] = json.loads(line)
             else:
-                tail = (p.stderr or p.stdout or "").strip().splitlines()
+                text = (p.stderr or "") + "\n" + (p.stdout or "")
+                logpath = f"/tmp/r5_fail_{name}.log"
+                with open(logpath, "w") as lf:
+                    lf.write(text)
+                lines = text.strip().splitlines()
+                key = [l for l in lines if any(t in l for t in (
+                    "RESOURCE_EXHAUSTED", "Out of memory", "exceeds the", "Error:"))][:3]
                 row["error"] = f"rc={p.returncode}"
-                row["tail"] = " | ".join(tail[-6:])[-1200:]
+                row["log"] = logpath
+                row["tail"] = " | ".join(key + lines[-3:])[-1200:]
         except subprocess.TimeoutExpired:
             row["error"] = f"timeout>{args.timeout}s"
         row["wall_s"] = round(time.time() - t0, 1)
