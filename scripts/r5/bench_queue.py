@@ -67,6 +67,18 @@ CONFIGS = {
         "BENCH_CHECKPOINTING": "0",
         "BENCH_SCAN": "8",
     },
+    # 0.25 deg retry with blocked dense tables: at 721x1440 the full
+    # (Hout, Hin) latitude tables are the dominant device-constant cost;
+    # T=64 shrinks them ~Hin/(stride*T+BL)-fold
+    "fcn3_quarterdeg_tile": {
+        **FCN3_BASE,
+        "BENCH_BATCH": "1",
+        "BENCH_NLAT": "721",
+        "BENCH_NLON": "1440",
+        "BENCH_SCAN": "4",
+        "BENCH_STEPS": "2",
+        "MAKANI_DISCO_DENSE_TILE": "64",
+    },
 }
 
 
