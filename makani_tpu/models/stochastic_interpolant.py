@@ -57,8 +57,14 @@ class StochasticInterpolant:
         return jnp.sqrt(s) * self.sigma(s)
 
     def dgamma(self, s):
-        # d/ds [sqrt(s) sigma(s)] = sigma/(2 sqrt(s)) + sqrt(s) dsigma
-        return self.sigma(s) / (2.0 * jnp.sqrt(jnp.maximum(s, 1e-8))) + jnp.sqrt(s) * self.dsigma(s)
+        # NOT the calculus derivative of gamma: the reference deliberately
+        # leaves the sqrt(s) factor undifferentiated ("in the original paper,
+        # the sqrt(s) term was not taken a derivative of", ref
+        # stochastic_interpolant.py:251-252). This convention is what makes
+        # the drift/score pair algebraically consistent: with it,
+        # dlog_rho(x, x0, drift_target(...), s) == -noise / gamma(s) exactly
+        # (pinned in tests/test_stochastic_interpolant.py).
+        return jnp.sqrt(s) * self.dsigma(s)
 
     def interpolant(self, x0, x1, noise, s):
         return self.alpha(s) * x0 + self.beta(s) * x1 + self.gamma(s) * noise
