@@ -940,6 +940,33 @@ class DiscoConvS2:
                         y_t = term if y_t is None else y_t + term
                     tiles.append(y_t)
                 y_p = jnp.concatenate(tiles, axis=-2)
+            elif _os.environ.get("MAKANI_DISCO_DENSE_SCAN", "1") == "1":
+                # scan over the WW window shifts with a carried accumulator.
+                # The unrolled form emits WW independent GEMMs against the
+                # SHARED operand `up`; in the backward pass XLA materializes
+                # every GEMM's full-size operand gradient concurrently
+                # (b*WW buffers of bf16[B*G, c, K, Hin, n_out_p] — 15 x
+                # 617 MB at the 0.5-deg B=2 atmo decoder, the round-5 B=2
+                # OOM). A scan serializes them: its transpose accumulates
+                # d(up) in the carry, one temp at a time.
+                span_w = (n_out_p - 1) * a + 1
+                tabs = jnp.asarray(np.ascontiguousarray(dense[p].transpose(1, 0, 2, 3))).astype(cdt)  # (WW, K, Hout, Hin)
+                c_dim = up.shape[1]
+                if mix_first:
+                    acc0 = jnp.zeros((B, c_dim, Hout, n_out_p), cdt)
+                else:
+                    acc0 = jnp.zeros((B, c_dim, K, Hout, n_out_p), cdt)
+
+                def _shift_body(acc, sp):
+                    Pd_s, s_idx = sp
+                    us_s = jax.lax.dynamic_slice_in_dim(up, off + s_idx, span_w, axis=-1)
+                    if a != 1:
+                        us_s = us_s[..., ::a]
+                    if mix_first:
+                        return acc + jnp.einsum("khi,bckiw->bchw", Pd_s, us_s), None
+                    return acc + jnp.einsum("khi,bciw->bckhw", Pd_s, us_s), None
+
+                y_p, _ = jax.lax.scan(_shift_body, acc0, (tabs, jnp.arange(self.WW)))
             else:
                 y_p = None
                 for s in range(self.WW):
