@@ -51,6 +51,39 @@ MODES = {
 }
 
 
+def test_bench_extras_recorded():
+    """The driver runs plain ``python bench.py``; the FCN3 and ensemble rows
+    in BENCH_r*.json come from _run_extras subprocesses. Drive that exact
+    path at tiny shapes: the headline JSON must carry extra.fcn3 and
+    extra.ensemble sub-results (env BENCH_* shape knobs inherit into the
+    children; only the nettype/ensemble knobs differ)."""
+    env = dict(os.environ, **TINY)
+    env.update(
+        {
+            "BENCH_EXTRA": "fcn3,ensemble",
+            "BENCH_ATMO_EMBED": "8",
+            "BENCH_SURF_EMBED": "8",
+            "BENCH_AUX_EMBED": "8",
+            "BENCH_ENSEMBLE_SIZE": "2",
+            "BENCH_ENSEMBLE_REMAT": "none",
+            "BENCH_FCN3_BATCH": "1",
+        }
+    )
+    env.pop("XLA_FLAGS", None)
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert p.returncode == 0, (p.stderr or p.stdout)[-2000:]
+    line = next((l for l in reversed(p.stdout.strip().splitlines()) if l.startswith("{")), None)
+    row = json.loads(line)
+    assert "extra" in row, row
+    for name in ("fcn3", "ensemble"):
+        sub = row["extra"][name]
+        assert "error" not in sub, sub
+        assert sub["value"] > 0
+
+
 @pytest.mark.parametrize("mode", sorted(MODES))
 def test_bench_mode_emits_json(mode):
     env = dict(os.environ, **TINY, **MODES[mode])
