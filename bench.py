@@ -257,11 +257,43 @@ def main():
     from functools import partial
 
     if ens > 1:
+        # BENCH_ENSEMBLE_CHUNK=c (divides E): member-chunked forward. The
+        # model forward is member-independent — only the CRPS loss couples
+        # members — so a rematerialized lax.scan over E/c chunks caps the
+        # activation peak at one chunk (the bf16[E,H,W,2*embed] encoder
+        # hidden at full res was the single-chip E=16 OOM) while storing only
+        # the (E, C, H, W) predictions for the joint loss.
+        chunk = int(os.environ.get("BENCH_ENSEMBLE_CHUNK", "0") or 0)
 
-        def loss_fn(q, inp, target, z):
-            pred = model.apply(q, inp, z, train=True)  # (B*E, C, H, W)
-            pred = pred.reshape(batch, ens, *pred.shape[1:])
-            return loss_obj(pred, target, train=True)
+        if chunk and chunk < ens:
+            n_chunks = ens // chunk
+
+            def _to_chunks(t):
+                # (B*E, ...) member-major per sample -> (E/c, B*c, ...)
+                t = t.reshape(batch, n_chunks, chunk, *t.shape[1:])
+                t = jnp.swapaxes(t, 0, 1)
+                return t.reshape(n_chunks, batch * chunk, *t.shape[3:])
+
+            def loss_fn(q, inp, target, z):
+                xg, zg = _to_chunks(inp), _to_chunks(z)
+
+                @jax.checkpoint
+                def body(_, xz):
+                    xi, zi = xz
+                    return None, model.apply(q, xi, zi, train=True)
+
+                _, preds = jax.lax.scan(body, None, (xg, zg))
+                # (E/c, B*c, C, H, W) -> (B, E, C, H, W)
+                preds = preds.reshape(n_chunks, batch, chunk, *preds.shape[2:])
+                pred = jnp.swapaxes(preds, 0, 1).reshape(batch, ens, *preds.shape[3:])
+                return loss_obj(pred, target, train=True)
+
+        else:
+
+            def loss_fn(q, inp, target, z):
+                pred = model.apply(q, inp, z, train=True)  # (B*E, C, H, W)
+                pred = pred.reshape(batch, ens, *pred.shape[1:])
+                return loss_obj(pred, target, train=True)
 
     else:
 
@@ -480,6 +512,9 @@ def _run_extras():
             "BENCH_ENSEMBLE": os.environ.get("BENCH_ENSEMBLE_SIZE", "16"),
             "BENCH_BATCH": "1",
             "BENCH_REMAT": os.environ.get("BENCH_ENSEMBLE_REMAT", "save_transforms_stats"),
+            # E=16 unchunked OOMs on one 16 GB chip (the full-res encoder
+            # hidden for all folded members); 4-member chunks fit
+            "BENCH_ENSEMBLE_CHUNK": os.environ.get("BENCH_ENSEMBLE_CHUNK", "4"),
             "BENCH_SCAN": "8",
         },
     }

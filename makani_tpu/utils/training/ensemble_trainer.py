@@ -187,10 +187,42 @@ class EnsembleTrainer(Trainer):
 
         model, loss_obj, tx, E = self.model, self.loss_obj, self.tx, self.ensemble_size
 
+        # ensemble_fold_chunk=c (divides E): member-chunked forward under a
+        # rematerialized scan. The forward is member-independent (only the
+        # probabilistic loss couples members), so activations peak at one
+        # c-member chunk while only the (B, E, ...) predictions persist for
+        # the joint loss — the single-chip answer to E=16 folds whose full-res
+        # encoder hidden otherwise OOMs (the reference instead requires one
+        # GPU per member, config/fourcastnet3.yaml:222-233). Exact-equivalence
+        # tested vs the plain fold (tests/test_ensemble_chunked.py).
+        chunk = int(self.params.get("ensemble_fold_chunk", 0) or 0)
+        n_chunks = E // chunk if chunk and chunk < E else 0
+        if n_chunks and E % chunk:
+            raise ValueError(f"ensemble_fold_chunk {chunk} must divide ensemble_size {E}")
+
+        def _apply_folded(q, inp, unp):
+            if not n_chunks:
+                return model.apply(q, inp, unp, train=True)  # (B*E, steps*C, H, W)
+            B = inp.shape[0] // E
+
+            def to_chunks(t):
+                t = t.reshape(B, n_chunks, chunk, *t.shape[1:])
+                t = jnp.swapaxes(t, 0, 1)
+                return t.reshape(n_chunks, B * chunk, *t.shape[3:])
+
+            @jax.checkpoint
+            def body(_, xz):
+                xi, zi = xz
+                return None, model.apply(q, xi, zi, train=True)
+
+            _, preds = jax.lax.scan(body, None, (to_chunks(inp), to_chunks(unp)))
+            preds = preds.reshape(n_chunks, B, chunk, *preds.shape[2:])
+            return jnp.swapaxes(preds, 0, 1).reshape(B * E, *preds.shape[3:])
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(p, s, inp, tar, unp):
             def loss_fn(q):
-                pred = model.apply(q, inp, unp, train=True)  # (B*E, steps*C, H, W)
+                pred = _apply_folded(q, inp, unp)  # (B*E, steps*C, H, W)
                 pred = fold_ensemble(pred, E)  # (B, E, steps*C, H, W)
                 return loss_obj(pred, tar, train=True)
 
