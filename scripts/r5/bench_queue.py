@@ -67,6 +67,24 @@ CONFIGS = {
         "BENCH_CHECKPOINTING": "0",
         "BENCH_SCAN": "8",
     },
+    # fcn31 at 0.5 deg died with relay HTTP 413 (compile request too large:
+    # FCN3.1's dense DISCO tables baked as HLO constants); the banded window
+    # formulation carries ~BL/Hin-fold smaller constants
+    "fcn31_window": {
+        **FCN3_BASE,
+        "BENCH_NETTYPE": "FCN3.1",
+        "BENCH_BATCH": "1",
+        "MAKANI_DISCO_FUSED": "window",
+    },
+    # E=16 with the member-chunked fold (the unchunked E=16 encoder hidden
+    # OOMed; 4-member chunks cap the activation peak)
+    "sfno_ens16_chunk": {
+        "BENCH_ENSEMBLE": "16",
+        "BENCH_ENSEMBLE_CHUNK": "4",
+        "BENCH_REMAT": "save_transforms_stats",
+        "BENCH_SCAN": "4",
+        "BENCH_STEPS": "2",
+    },
     # 0.25 deg retry with blocked dense tables: at 721x1440 the full
     # (Hout, Hin) latitude tables are the dominant device-constant cost;
     # T=64 shrinks them ~Hin/(stride*T+BL)-fold
