@@ -301,6 +301,7 @@ def main():
             pred = model.apply(q, inp, z, train=True)
             return loss_obj(pred, target, inp=inp, train=True)
 
+    tabs_arg = ()  # optional trailing (tables,) argument for the train step
     if param_mirror:
         mirror = cast_params(model_params, jnp.bfloat16)
 
@@ -336,6 +337,30 @@ def main():
                 (p, s), losses = jax.lax.scan(body, (p, s), xs=None, length=scan_k)
                 return losses[-1], p, s
 
+        # MAKANI_DISCO_TABLE_ARGS=1: pass the DISCO psi tables as a runtime
+        # jit argument instead of baking them as HLO constants. At FCN3.1's
+        # dense-table sizes (and FCN3 at 0.25 deg) the baked constants push
+        # the serialized compile request past the relay's body limit
+        # (HTTP 413); as arguments the program stays small and the tables
+        # ride one device_put. Protocol: one registry-filling abstract trace,
+        # then trace/compile inside disco_table_context.
+        if os.environ.get("MAKANI_DISCO_TABLE_ARGS", "0") == "1":
+            from makani_tpu.ops import disco as _disco
+
+            _base_step = _train_step
+            jax.eval_shape(_base_step, model_params, opt_state, x, tar, zen)
+            _host_tabs = dict(_disco.disco_table_registry())
+            print(
+                f"# disco table args: {len(_host_tabs)} tables, "
+                f"{sum(v.nbytes for v in _host_tabs.values()) / 1e9:.2f} GB",
+                file=sys.stderr,
+            )
+            tabs_arg = ({k: jax.device_put(jnp.asarray(v)) for k, v in _host_tabs.items()},)
+
+            def _train_step(p, s, inp, target, z, tabs):
+                with _disco.disco_table_context(tabs):
+                    return _base_step(p, s, inp, target, z)
+
         carry = (model_params, opt_state)
 
         # AUTO layouts for the carried state: XLA picks the dhconv weight
@@ -364,12 +389,12 @@ def main():
                     copts["xla_tpu_scoped_vmem_limit_kib"] = os.environ["BENCH_SCOPED_VMEM_KIB"]
                 jitted = jax.jit(
                     _train_step,
-                    in_shardings=(auto, auto, auto, auto, auto),
+                    in_shardings=(auto, auto, auto, auto, auto) + (deflt,) * len(tabs_arg),
                     out_shardings=(deflt, auto, auto),
                     donate_argnums=(0, 1),
                     compiler_options=copts or None,
                 )
-                compiled = jitted.lower(model_params, opt_state, x, tar, zen).compile()
+                compiled = jitted.lower(model_params, opt_state, x, tar, zen, *tabs_arg).compile()
                 fmts = compiled.input_formats[0]
                 # relayout via a jitted identity rather than device_put: the
                 # relay has been seen to drop device_put's custom layouts
@@ -382,13 +407,13 @@ def main():
                 relayout_state = jax.jit(lambda t: t, out_shardings=tuple(fmts[:2]), donate_argnums=(0,))
                 carry0, carry1 = relayout_state((model_params, opt_state))
                 model_params = opt_state = None
-                relayout_data = jax.jit(lambda t: t, out_shardings=tuple(fmts[2:]))
+                relayout_data = jax.jit(lambda t: t, out_shardings=tuple(fmts[2:5]))
                 x_l, tar_l, zen_l = relayout_data((x, tar, zen))
                 carry_l = (carry0, carry1)
                 # probe one call end-to-end (including the loss fetch): the
                 # relay's device_put has been seen to drop custom layouts,
                 # which only surfaces at call time — fall back cleanly then
-                loss, *carry_l = compiled(*carry_l, x_l, tar_l, zen_l)
+                loss, *carry_l = compiled(*carry_l, x_l, tar_l, zen_l, *tabs_arg)
                 float(loss)
                 carry = carry_l
                 x, tar, zen = x_l, tar_l, zen_l
@@ -411,21 +436,21 @@ def main():
     # map profiler fusion names back to ops) and exit without timing
     dump = os.environ.get("BENCH_DUMP_HLO")
     if dump:
-        compiled = train_step if hasattr(train_step, "as_text") else train_step.lower(*carry, x, tar, zen).compile()
+        compiled = train_step if hasattr(train_step, "as_text") else train_step.lower(*carry, x, tar, zen, *tabs_arg).compile()
         with open(dump, "w") as f:
             f.write(compiled.as_text())
         print(json.dumps({"metric": "hlo-dump", "value": 0.0, "unit": "", "vs_baseline": 0.0}))
         return
 
     for _ in range(warmup):
-        loss, *carry = train_step(*carry, x, tar, zen)
+        loss, *carry = train_step(*carry, x, tar, zen, *tabs_arg)
     # force a host readback: on the remote-TPU relay, block_until_ready
     # returns before execution completes, so only a value fetch synchronizes
     float(loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        loss, *carry = train_step(*carry, x, tar, zen)
+        loss, *carry = train_step(*carry, x, tar, zen, *tabs_arg)
     final_loss = float(loss)
     dt = (time.perf_counter() - t0) / steps
     assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
@@ -439,7 +464,7 @@ def main():
         if hasattr(train_step, "cost_analysis"):  # pre-compiled (auto-layout path)
             ca = train_step.cost_analysis()
         else:
-            ca = train_step.lower(*carry, x, tar, zen).compile().cost_analysis()
+            ca = train_step.lower(*carry, x, tar, zen, *tabs_arg).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))

@@ -54,7 +54,58 @@ import jax.numpy as jnp
 
 from makani_tpu.ops.quadrature import precompute_latitudes
 
-__all__ = ["DiscoConvS2", "compute_cutoff_radius", "num_basis_functions", "register_basis_table", "load_basis_table"]
+__all__ = [
+    "DiscoConvS2",
+    "compute_cutoff_radius",
+    "num_basis_functions",
+    "register_basis_table",
+    "load_basis_table",
+    "disco_table_context",
+    "disco_table_registry",
+]
+
+
+# --- psi tables as runtime arguments (MAKANI_DISCO_TABLE_ARGS) ------------
+#
+# By default every psi-derived table reaches XLA as a baked HLO constant
+# (jnp.asarray on host numpy at trace time). At FCN3.1's dense-table sizes
+# and at 0.25 deg the serialized constants exceed the compile-transport
+# request limit (HTTP 413 on the relay) and bloat every compile. With a
+# table context active, each table is instead looked up from a caller-passed
+# pytree of device arrays — the tables become ordinary jit ARGUMENTS and the
+# serialized program stays small. Protocol:
+#
+#   1. trace the step once with no context (jax.eval_shape) — every
+#      DiscoConvS2 call site registers its host table in the registry;
+#   2. device_put the registry and pass it as an extra step argument;
+#   3. trace/compile the step inside ``disco_table_context(tables)``.
+#
+# Keys are derived from the conv config (the _precompute_psi cache key), so
+# they are deterministic across traces. A key missing from the active
+# context falls back to the baked-constant path.
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_TABLE_REGISTRY: dict = {}
+_TABLE_CTX = _threading.local()
+
+
+def disco_table_registry() -> dict:
+    """Host-numpy psi tables registered by DiscoConvS2 call sites (trace once
+    with jax.eval_shape to populate for a given program)."""
+    return _TABLE_REGISTRY
+
+
+@_contextmanager
+def disco_table_context(tables: dict):
+    """Serve registered psi tables from ``tables`` (device/traced arrays)
+    instead of baking them as HLO constants. Active at trace time."""
+    prev = getattr(_TABLE_CTX, "tables", None)
+    _TABLE_CTX.tables = tables
+    try:
+        yield
+    finally:
+        _TABLE_CTX.tables = prev
 
 
 def compute_cutoff_radius(nlat: int, kernel_shape, basis_type: str = "piecewise linear") -> float:
@@ -557,6 +608,10 @@ class DiscoConvS2:
             self.in_shape, self.out_shape, self.kernel_shape, grid_in, grid_out, self.theta_cutoff, basis_norm_mode, basis_type
         )
         self.__dict__.update(tbl)
+        self._tab_base = (
+            f"{self.in_shape}|{self.out_shape}|{self.kernel_shape}|{basis_type}"
+            f"|{grid_in}|{grid_out}|{basis_norm_mode}|{self.theta_cutoff:.12g}"
+        )
         self.WW = 2 * self.halo + 1
         # MAKANI_DISCO_BF16=1 runs the banded conv in bfloat16 (MXU conv with
         # fp32 accumulation; halves the (B, C, K, Hout, Wout) response bytes).
@@ -564,6 +619,21 @@ class DiscoConvS2:
         import os as _os
 
         self.compute_dtype = jnp.bfloat16 if _os.environ.get("MAKANI_DISCO_BF16", "0") == "1" else jnp.float32
+
+    def _tab(self, tag: str, build) -> jnp.ndarray:
+        """Return a psi-derived table for this conv: from the active table
+        context (as a traced jit argument) when one is set and holds the key,
+        else as a baked constant — registering the host array either way so a
+        registry-filling trace discovers every table the program needs."""
+        key = f"disco|{self._tab_base}|{tag}"
+        arr = _TABLE_REGISTRY.get(key)
+        if arr is None:
+            arr = np.ascontiguousarray(build())
+            _TABLE_REGISTRY[key] = arr
+        ctx = getattr(_TABLE_CTX, "tables", None)
+        if ctx is not None and key in ctx:
+            return ctx[key]
+        return jnp.asarray(arr)
 
     def __call__(self, x: jnp.ndarray, _split_polar: bool = False):
         B, C, Hin, Win = x.shape
@@ -591,7 +661,7 @@ class DiscoConvS2:
             # features) — replaces the former per-band-row loop that re-read
             # the windowed input BL times
             inp = xs.reshape(B * C, Hout * BL, xs.shape[-1]).astype(self.compute_dtype)
-            filt = jnp.asarray(self.psi_band[p]).astype(self.compute_dtype)  # (K, Hout, BL, WW)
+            filt = self._tab(f"band_{p}", lambda p=p: self.psi_band[p]).astype(self.compute_dtype)  # (K, Hout, BL, WW)
             filt = jnp.transpose(filt, (1, 0, 2, 3)).reshape(Hout * K, BL, self.WW)
             out = jax.lax.conv_general_dilated(
                 inp,
@@ -733,7 +803,7 @@ class DiscoConvS2:
                 xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
             inp = xs.reshape(B, Hout * g * ig * BL, xs.shape[-1]).astype(cdt)
             # effective filter: psi contracted with the learned weights
-            psi = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
+            psi = self._tab(f"band_{p}", lambda p=p: self.psi_band[p])  # (K, Hout, BL, WW)
             filt = jnp.einsum("goik,khjw->hgoijw", w.astype(jnp.float32), psi)
             filt = filt.reshape(Hout * g * og, ig * BL, self.WW).astype(cdt)
             out = jax.lax.conv_general_dilated(
@@ -812,10 +882,14 @@ class DiscoConvS2:
             # corr = irfft(X . conj(PsiF)); psi applied over (k, j) by an
             # explicit broadcast-multiply-sum (never an einsum: complex
             # einsums here lowered to pathologically-padded convs, round 3)
-            Pf = np.fft.rfft(psi_p.astype(np.float64), axis=-1)
             # align to (1, P, 1, 1, K, BL, M)
-            Pre_b = jnp.asarray(np.ascontiguousarray(Pf.real.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
-            Pim_b = jnp.asarray(np.ascontiguousarray(Pf.imag.transpose(1, 0, 2, 3)).astype(np.float32))[None, :, None, None]
+            def _pf(part, psi_p=psi_p):
+                Pf = np.fft.rfft(psi_p.astype(np.float64), axis=-1)
+                comp = Pf.real if part == "re" else Pf.imag
+                return comp.transpose(1, 0, 2, 3).astype(np.float32)
+
+            Pre_b = self._tab(f"polarfft_re_{p}", lambda: _pf("re"))[None, :, None, None]
+            Pim_b = self._tab(f"polarfft_im_{p}", lambda: _pf("im"))[None, :, None, None]
             cols = (np.arange(n_out_p) * a) % Win
             f32 = jnp.float32
             if st["mix_first"]:
@@ -931,7 +1005,10 @@ class DiscoConvS2:
                     c1 = int(self.band_start[h0:h1].max()) + BL
                     y_t = None
                     for s in range(self.WW):
-                        Pd = jnp.asarray(np.ascontiguousarray(dense[p, :, s, h0:h1, c0:c1])).astype(cdt)
+                        Pd = self._tab(
+                            f"dense_tile{tile}_{p}_{s}_{h0}",
+                            lambda p=p, s=s, h0=h0, h1=h1, c0=c0, c1=c1: dense[p, :, s, h0:h1, c0:c1],
+                        ).astype(cdt)
                         us = up[..., off + s : off + s + (n_out_p - 1) * a + 1 : a][..., c0:c1, :]
                         if mix_first:
                             term = jnp.einsum("khi,bckiw->bchw", Pd, us)
@@ -950,7 +1027,7 @@ class DiscoConvS2:
                 # OOM). A scan serializes them: its transpose accumulates
                 # d(up) in the carry, one temp at a time.
                 span_w = (n_out_p - 1) * a + 1
-                tabs = jnp.asarray(np.ascontiguousarray(dense[p].transpose(1, 0, 2, 3))).astype(cdt)  # (WW, K, Hout, Hin)
+                tabs = self._tab(f"dense_t_{p}", lambda p=p: dense[p].transpose(1, 0, 2, 3)).astype(cdt)  # (WW, K, Hout, Hin)
                 c_dim = up.shape[1]
                 if mix_first:
                     acc0 = jnp.zeros((B, c_dim, Hout, n_out_p), cdt)
@@ -970,7 +1047,7 @@ class DiscoConvS2:
             else:
                 y_p = None
                 for s in range(self.WW):
-                    Pd = jnp.asarray(dense[p, :, s]).astype(cdt)  # (K, Hout, Hin)
+                    Pd = self._tab(f"dense_{p}_{s}", lambda p=p, s=s: dense[p, :, s]).astype(cdt)  # (K, Hout, Hin)
                     # window shift s at output stride a; up covers every
                     # phase offset so the slice always spans n_out_p columns
                     us = up[..., off + s : off + s + (n_out_p - 1) * a + 1 : a]
@@ -1046,7 +1123,7 @@ class DiscoConvS2:
             needed = (n_out_p - 1) * a + self.WW
             if needed > Win:
                 xs = jnp.concatenate([xs, xs[..., : needed - Win]], axis=-1)
-            psi = jnp.asarray(self.psi_band[p])  # (K, Hout, BL, WW)
+            psi = self._tab(f"band_{p}", lambda p=p: self.psi_band[p])  # (K, Hout, BL, WW)
 
             y_acc = None
             for j in range(BL):

@@ -97,6 +97,43 @@ CONFIGS = {
         "BENCH_STEPS": "2",
         "MAKANI_DISCO_DENSE_TILE": "64",
     },
+    # --- table-args retries: the HTTP 413 compile failures were the baked
+    # psi-table constants; MAKANI_DISCO_TABLE_ARGS=1 ships them as one
+    # device_put'd jit argument instead (tests/test_disco_table_args.py)
+    "fcn31_targs": {
+        **FCN3_BASE,
+        "BENCH_NETTYPE": "FCN3.1",
+        "BENCH_BATCH": "1",
+        "MAKANI_DISCO_TABLE_ARGS": "1",
+    },
+    "fcn3_quarterdeg_targs": {
+        **FCN3_BASE,
+        "BENCH_BATCH": "1",
+        "BENCH_NLAT": "721",
+        "BENCH_NLON": "1440",
+        "BENCH_SCAN": "4",
+        "BENCH_STEPS": "2",
+        "MAKANI_DISCO_TABLE_ARGS": "1",
+    },
+    # retry: first attempt died on a transient relay compile-helper HTTP 500
+    # (TPU_WORKER_HOSTNAMES bootstrap failure), not a program error
+    "sfno_ens16_chunk_r": {
+        "BENCH_ENSEMBLE": "16",
+        "BENCH_ENSEMBLE_CHUNK": "4",
+        "BENCH_REMAT": "save_transforms_stats",
+        "BENCH_SCAN": "4",
+        "BENCH_STEPS": "2",
+    },
+    # ens4 with member-chunking (chunk=1): serializes members through one
+    # deterministic-shaped forward — if the 4.5x per-member gap vs the
+    # deterministic step is layout/schedule of the folded (B*E) batch, this
+    # recovers it at the cost of scan overhead
+    "sfno_ens4_chunk1": {
+        "BENCH_ENSEMBLE": "4",
+        "BENCH_ENSEMBLE_CHUNK": "1",
+        "BENCH_REMAT": "save_transforms_stats",
+        "BENCH_SCAN": "8",
+    },
 }
 
 
